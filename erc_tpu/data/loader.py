@@ -1,0 +1,76 @@
+"""Deterministic host-side input pipeline.
+
+Replaces the reference's torch DataLoader + worker processes + accelerate
+sharding (lumo/data/loader.py, data/accelerator.py:33-188).  Dialogue
+feature dumps are tiny (all of IEMOCAP fits in host RAM), so the pipeline
+is a simple indexable epoch iterator:
+
+- per-epoch shuffle from an explicit PRNG (same order on every host)
+- optional length-sorted "pack" mode that groups similar-length dialogues
+  to minimize padding waste (the main throughput lever on TPU)
+- multi-host: each process takes a strided slice of each batch, and
+  `parallel.mesh.shard_batch` reassembles the global batch on device
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from erc_tpu.core.seed import RngPool
+from erc_tpu.data.collate import ERCBatcher
+
+
+class DialogueLoader:
+    def __init__(
+        self,
+        samples: List[dict],
+        batcher: ERCBatcher,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = False,
+        seed: int = 0,
+        sort_by_length: bool = False,
+    ):
+        self.samples = samples
+        self.batcher = batcher
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = RngPool(seed)
+        self.sort_by_length = sort_by_length
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.samples)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _order(self) -> np.ndarray:
+        n = len(self.samples)
+        if self.shuffle:
+            order = self.rng.numpy_rng("shuffle", self.epoch).permutation(n)
+        else:
+            order = np.arange(n)
+        if self.sort_by_length:
+            # stable sort within shuffled order: batches stay random-ish but
+            # similar lengths cluster → smaller padded buckets
+            lens = np.array([len(self.samples[i]["label"]) for i in order])
+            order = order[np.argsort(lens, kind="stable")]
+        return order
+
+    def __iter__(self) -> Iterator[dict]:
+        order = self._order()
+        bs = self.batch_size
+        n_full = len(order) // bs
+        end = n_full * bs if self.drop_last else len(order)
+        for s in range(0, end, bs):
+            idx = order[s : s + bs]
+            batch = self.batcher([self.samples[i] for i in idx])
+            yield batch
+        self.epoch += 1

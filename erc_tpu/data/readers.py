@@ -1,0 +1,229 @@
+"""Feature-dump readers for IEMOCAP / MELD / MOSEI.
+
+Byte-compatible with the reference's pickle/h5 formats
+(reference: mmdatasets/datas/mm/iemocap_feature.py:360-458,
+meld_feature.py:14-45, mosei_feature.py:129-223).  Every reader returns a
+list of per-dialogue sample dicts with keys
+    speakers   — list of one-hot speaker vectors per utterance
+    visual / audio / text — [L_i, D_m] float arrays
+    label      — [L_i] int array
+    sentence   — list of strings (optional)
+plus MOSEI's emo_label / senti2_label / senti7_label extras.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import List, Optional
+
+import numpy as np
+
+
+def load_pkl(path: str):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def _apply_text_visual_swap(root, subdir, video_text, video_visual, text, visual):
+    """sbert/robert text and tsn/tsnss/x3d (+concat) visual replacement
+    (iemocap_feature.py:369-393)."""
+    text_fn = None
+    if text == "robert":
+        text_fn = os.path.join(root, subdir, "robert_map.pkl")
+    elif text == "sbert":
+        text_fn = os.path.join(root, subdir, "sbert_map.pkl")
+    if text_fn:
+        video_text = load_pkl(text_fn)
+
+    visual_fn = None
+    if visual and "tsnss" in visual:
+        visual_fn = os.path.join(root, subdir, "tsn_vfeat_ss.pkl")
+    elif visual and "tsn" in visual:
+        visual_fn = os.path.join(root, subdir, "tsn_vfeat.pkl")
+    elif visual and "x3d" in visual:
+        visual_fn = os.path.join(root, subdir, "x3d_vfeat.pkl")
+    if visual_fn:
+        new_visual = load_pkl(visual_fn)
+        if visual and "+" in visual:
+            video_visual = {
+                k: np.concatenate([video_visual[k], new_visual[k]], axis=1)
+                for k in new_visual
+            }
+        else:
+            video_visual = new_visual
+    return video_text, video_visual
+
+
+def _iemocap_cogmen(root, pkl_rel, subdir, split, text="", visual=""):
+    pkl = load_pkl(os.path.join(root, pkl_rel))
+    (
+        video_ids, video_speakers, video_labels, video_text, video_audio,
+        video_visual, video_sentence, train_ids, test_ids,
+    ) = pkl
+    video_text, video_visual = _apply_text_visual_swap(
+        root, subdir, video_text, video_visual, text, visual
+    )
+    ids = train_ids if split == "train" else test_ids
+    res = []
+    for k in ids:
+        res.append(
+            {
+                "ids": video_ids[k],
+                "speakers": [[1, 0] if i == "M" else [0, 1] for i in video_speakers[k]],
+                "visual": video_visual[k],
+                "audio": video_audio[k],
+                "text": video_text[k],
+                "label": video_labels[k],
+                "sentence": video_sentence[k],
+            }
+        )
+    return res
+
+
+def iemocap_cogmen_6(root, split="train", text="", visual=""):
+    """9-tuple COGMEN dump (iemocap_feature.py:360-408)."""
+    return _iemocap_cogmen(
+        root, "cogmen/iemocap/IEMOCAP_features.pkl", "cogmen/iemocap", split, text, visual
+    )
+
+
+def iemocap_cogmen_4(root, split="train", text="", visual=""):
+    return _iemocap_cogmen(
+        root, "cogmen/iemocap_4/IEMOCAP_features_4.pkl", "cogmen/iemocap_4", split, text, visual
+    )
+
+
+def meld_mmgcn_7(root, split="train", text=None):
+    """10-tuple MMGCN MELD dump (meld_feature.py:14-45)."""
+    pkl = load_pkl(os.path.join(root, "MMGCN/MELD_features_raw.pkl"))
+    (
+        video_ids, video_speakers, video_labels, video_text, video_audio,
+        video_visual, video_sentence, train_ids, test_ids, _none,
+    ) = pkl
+    if text == "sbert":
+        video_text = load_pkl(os.path.join(root, "MMGCN", "sbert_map.pkl"))
+    ids = train_ids if split == "train" else test_ids
+    res = []
+    for k in ids:
+        res.append(
+            {
+                "ids": video_ids[k],
+                "speakers": video_speakers[k],
+                "visual": video_visual[k].astype(np.float32),
+                "audio": video_audio[k].astype(np.float32),
+                "text": video_text[k].astype(np.float32),
+                "label": video_labels[k],
+                "sentence": video_sentence[k],
+            }
+        )
+    return res
+
+
+# -- MOSEI ---------------------------------------------------------------
+
+
+def cmumosei_7(a: float) -> int:
+    """7-bin sentiment (mosei_feature.py:9-26)."""
+    if a < -2:
+        return 0
+    if a < -1:
+        return 1
+    if a < 0:
+        return 2
+    if a == 0:
+        return 3
+    if a <= 1:
+        return 4
+    if a <= 2:
+        return 5
+    return 6
+
+
+def cmumosei_2(a: float) -> int:
+    return 0 if a < 0 else 1
+
+
+def create_emotion_label(emo_label: np.ndarray) -> np.ndarray:
+    """Binary multi-hot rows; empty rows get class 6 (mosei_feature.py:36-52)."""
+    rows = []
+    for j in range(emo_label.shape[0]):
+        temp = np.zeros(7, dtype=int)
+        pos = np.nonzero(emo_label[j])[0]
+        if len(pos) == 0:
+            temp[-1] = 1
+        else:
+            temp[pos] = 1
+        rows.append(temp)
+    return np.array(rows)
+
+
+def mosei_adapted(root, split="train", audio=None, text=None, label_type="emo", balance=False):
+    """13-tuple MOSEI.adpated.pkl (mosei_feature.py:129-223)."""
+    pkl = load_pkl(os.path.join(root, "MOSEI.adpated.pkl"))
+    (
+        train_id, test_id, valid_id, video_interval, video_emo_label,
+        video_audio, video_text, video_vision, video_sentence,
+        empty_vision, empty_audio, empty_text, invalid_time,
+    ) = pkl
+
+    ids = list(train_id if split == "train" else test_id if split == "test" else valid_id)
+    if balance and split == "train":
+        ids.extend(load_pkl(os.path.join(root, "balanced_train_id.pkl")))
+
+    if text == "sbert":
+        video_text = load_pkl(os.path.join(root, "sbert_map.pkl"))
+    if audio == "fbank":
+        video_audio = load_pkl(os.path.join(root, "fbank480.pkl"))
+    elif audio == "is10":
+        video_audio = load_pkl(os.path.join(root, "MOSEI.is10.pkl"))
+
+    res = []
+    for k in ids:
+        emo = video_emo_label[k]  # [L, 8]: [sentiment, hap, sad, ang, surprise, disgust, fear]
+        if label_type == "emo":
+            label = emo[:, 1:].argmax(axis=-1)
+        elif label_type == "multi":
+            label = emo
+        elif label_type in ("sent_2", "sent_2+"):
+            if label_type == "sent_2+" and not emo[:, 0].any():
+                continue
+            label = np.array([cmumosei_2(i) for i in emo[:, 0]], dtype=int)
+        elif label_type == "sent_7":
+            label = np.array([cmumosei_7(i) for i in emo[:, 0]], dtype=int)
+        else:
+            raise NotImplementedError(label_type)
+
+        senti2 = np.array([cmumosei_2(i) for i in emo[:, 0]])
+        senti7 = np.array([cmumosei_7(i) for i in emo[:, 0]])
+        emo_multi = create_emotion_label(emo[:, 1:])
+
+        visual_data, audio_data = video_vision[k], video_audio[k]
+        text_data, sentence_data = video_text[k], video_sentence[k]
+
+        if label_type == "sent_2+":
+            keep = emo[:, 0] != 0
+            if not keep.any():
+                continue
+            visual_data, audio_data, text_data = (
+                visual_data[keep], audio_data[keep], text_data[keep]
+            )
+            sentence_data = np.array(sentence_data)[keep].tolist()
+            label, emo_multi = label[keep], emo_multi[keep]
+            senti2, senti7 = senti2[keep], senti7[keep]
+
+        res.append(
+            {
+                "ids": k,
+                "label": label,
+                "speakers": [[0]] ,
+                "visual": visual_data,
+                "audio": audio_data,
+                "text": text_data,
+                "sentence": sentence_data,
+                "emo_label": emo_multi,
+                "senti2_label": senti2,
+                "senti7_label": senti7,
+            }
+        )
+    return res

@@ -1,0 +1,115 @@
+"""Dataset-name registry with the reference's name grammar.
+
+``{dataset}-{feature_set}-[replacements]-{n_classes}`` — the trailing -N is
+the class count (reference: mmdatasets/const.py:34-36); the middle tokens
+select feature swaps (reference: datas/__init__.py:14-114).  Additional
+``synthetic-*`` names generate data in-memory for tests/benchmarks.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Callable, Dict
+
+from erc_tpu.data import readers, synthetic
+
+
+def default_roots() -> Dict[str, str]:
+    """Dataset roots; override via ERC_TPU_DATA_ROOT or a config file."""
+    base = os.environ.get("ERC_TPU_DATA_ROOT", os.path.expanduser("~/erc_data"))
+    return {
+        "iemocap": os.path.join(base, "iemocap"),
+        "meld": os.path.join(base, "meld"),
+        "mosi": os.path.join(base, "mosi"),
+        "mosei": os.path.join(base, "mosei"),
+        "synthetic": base,
+    }
+
+
+regist_data: Dict[str, Callable] = {
+    "iemocap-cogmen-6": partial(readers.iemocap_cogmen_6),
+    "iemocap-cogmen-sbert-6": partial(readers.iemocap_cogmen_6, text="sbert"),
+    "iemocap-cogmen-robert-6": partial(readers.iemocap_cogmen_6, text="robert"),
+    "iemocap-cogmen-tsn-6": partial(readers.iemocap_cogmen_6, visual="tsn"),
+    "iemocap-cogmen-tsn-v+-6": partial(readers.iemocap_cogmen_6, visual="tsn+"),
+    "iemocap-cogmen-sbert-tsn-6": partial(readers.iemocap_cogmen_6, text="sbert", visual="tsn"),
+    "iemocap-cogmen-robert-tsn-6": partial(readers.iemocap_cogmen_6, text="robert", visual="tsn"),
+    "iemocap-cogmen-sbert-tsn-v+-6": partial(readers.iemocap_cogmen_6, text="sbert", visual="tsn+"),
+    "iemocap-cogmen-robert-tsn-v+-6": partial(readers.iemocap_cogmen_6, text="robert", visual="tsn+"),
+    "iemocap-cogmen-4": partial(readers.iemocap_cogmen_4),
+    "iemocap-cogmen-sbert-4": partial(readers.iemocap_cogmen_4, text="sbert"),
+    "iemocap-cogmen-robert-4": partial(readers.iemocap_cogmen_4, text="robert"),
+    "iemocap-cogmen-tsn-4": partial(readers.iemocap_cogmen_4, visual="tsn"),
+    "iemocap-cogmen-tsnss-4": partial(readers.iemocap_cogmen_4, visual="tsnss"),
+    "iemocap-cogmen-tsn-v+-4": partial(readers.iemocap_cogmen_4, visual="tsn+"),
+    "iemocap-cogmen-tsnss-v+-4": partial(readers.iemocap_cogmen_4, visual="tsnss+"),
+    "iemocap-cogmen-sbert-tsn-4": partial(readers.iemocap_cogmen_4, text="sbert", visual="tsn"),
+    "iemocap-cogmen-robert-tsn-4": partial(readers.iemocap_cogmen_4, text="robert", visual="tsn"),
+    "iemocap-cogmen-sbert-tsn-v+-4": partial(readers.iemocap_cogmen_4, text="sbert", visual="tsn+"),
+    "iemocap-cogmen-robert-tsn-v+-4": partial(readers.iemocap_cogmen_4, text="robert", visual="tsn+"),
+    "iemocap-cogmen-sbert-tsnss-4": partial(readers.iemocap_cogmen_4, text="sbert", visual="tsnss"),
+    "iemocap-cogmen-robert-tsnss-4": partial(readers.iemocap_cogmen_4, text="robert", visual="tsnss"),
+    "iemocap-cogmen-sbert-tsnss-v+-4": partial(readers.iemocap_cogmen_4, text="sbert", visual="tsnss+"),
+    "iemocap-cogmen-robert-tsnss-v+-4": partial(readers.iemocap_cogmen_4, text="robert", visual="tsnss+"),
+    "meld-mmgcn-7": partial(readers.meld_mmgcn_7, text=None),
+    "meld-mmgcn-sbert-7": partial(readers.meld_mmgcn_7, text="sbert"),
+    "mosei-emo-sbert-6": partial(readers.mosei_adapted, text="sbert"),
+    "mosei-sent-sbert-7": partial(readers.mosei_adapted, text="sbert", label_type="sent_7"),
+    "mosei-sent-sbert-2": partial(readers.mosei_adapted, text="sbert", label_type="sent_2"),
+    "mosei-multi-sbert-fbank-6": partial(
+        readers.mosei_adapted, text="sbert", audio="fbank", label_type="multi"
+    ),
+    "mosei-emo-sbert-fbank-6": partial(
+        readers.mosei_adapted, text="sbert", audio="fbank", label_type="emo"
+    ),
+    "mosei-emo-sbert-fbank-blc-6": partial(
+        readers.mosei_adapted, text="sbert", audio="fbank", label_type="emo", balance=True
+    ),
+    "mosei-sent-sbert-fbank-7": partial(
+        readers.mosei_adapted, text="sbert", audio="fbank", label_type="sent_7"
+    ),
+    "mosei-sent-sbert-fbank-2": partial(
+        readers.mosei_adapted, text="sbert", audio="fbank", label_type="sent_2"
+    ),
+    "mosei-sent-sbert-fbank-+-2": partial(
+        readers.mosei_adapted, text="sbert", audio="fbank", label_type="sent_2+"
+    ),
+    "mosei-emo-sbert-is10-6": partial(
+        readers.mosei_adapted, text="sbert", audio="is10", label_type="emo"
+    ),
+    "mosei-sent-sbert-is10-7": partial(
+        readers.mosei_adapted, text="sbert", audio="is10", label_type="sent_7"
+    ),
+    "mosei-sent-sbert-is10-2": partial(
+        readers.mosei_adapted, text="sbert", audio="is10", label_type="sent_2"
+    ),
+    "mosei-sent-sbert-is10-+-2": partial(
+        readers.mosei_adapted, text="sbert", audio="is10", label_type="sent_2+"
+    ),
+}
+
+
+def _synthetic_loader(name: str):
+    n_cls = n_classes_of(name)
+    if "mosei" in name:
+        return lambda root, split="train", **kw: synthetic.synthetic_mosei(n_cls, split)
+    prefix = "meld-mmgcn" if "meld" in name else "iemocap-cogmen"
+    return lambda root, split="train", **kw: synthetic.synthetic_erc(prefix, n_cls, split)
+
+
+def n_classes_of(dataset_name: str) -> int:
+    return round(float(dataset_name.split("-")[-1]))
+
+
+def pick_datas(root, dataset_name: str, split: str = "train"):
+    """Resolve name → sample list (reference: datas/__init__.py:117-121)."""
+    if dataset_name.startswith("synthetic-"):
+        return _synthetic_loader(dataset_name)(root, split=split)
+    fn = regist_data.get(dataset_name)
+    assert fn is not None, f"unknown dataset {dataset_name!r}"
+    return fn(root, split=split)
+
+
+def get_root(dataset_name: str) -> str:
+    return default_roots()[dataset_name.split("-")[0]]

@@ -1,0 +1,80 @@
+"""Synthetic dialogue generator matching the real feature-dump geometry.
+
+Used by tests and by the benchmark harness when the licensed
+IEMOCAP/MELD/MOSEI dumps are absent.  Labels are a noisy function of the
+text features, so models can genuinely *learn* on synthetic data (used by
+the end-to-end learning tests).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# dataset-name-driven dims (reference: mmbase.py:62-123)
+_DIMS = {
+    "iemocap-cogmen": dict(text=100, audio=100, visual=512, n_speakers=2),
+    "meld-mmgcn": dict(text=600, audio=300, visual=342, n_speakers=9),
+    "mosei": dict(text=300, audio=74, visual=35, n_speakers=1),
+}
+
+
+def synthetic_erc(
+    prefix: str,
+    n_classes: int,
+    split: str = "train",
+    n_train: int = 120,
+    n_test: int = 31,
+    min_len: int = 16,
+    max_len: int = 110,
+    seed: int = 0,
+    text_dim=None,
+    audio_dim=None,
+    visual_dim=None,
+):
+    dims = dict(_DIMS.get(prefix, _DIMS["iemocap-cogmen"]))
+    if text_dim:
+        dims["text"] = text_dim
+    if audio_dim:
+        dims["audio"] = audio_dim
+    if visual_dim:
+        dims["visual"] = visual_dim
+    S = dims["n_speakers"]
+    n = n_train if split == "train" else n_test
+    rng = np.random.default_rng(seed if split == "train" else seed + 1)
+    # fixed class prototypes shared by both splits so test is learnable
+    proto_rng = np.random.default_rng(seed + 1234)
+    protos = {
+        m: proto_rng.normal(size=(n_classes, dims[m])).astype(np.float32)
+        for m in ("text", "audio", "visual")
+    }
+    res = []
+    for _ in range(n):
+        L = int(rng.integers(min_len, max_len + 1))
+        label = rng.integers(0, n_classes, L)
+        spk = rng.integers(0, S, L)
+        sample = {
+            "speakers": [np.eye(S, dtype=int)[s].tolist() for s in spk],
+            "label": label.astype(np.int64),
+            "sentence": [f"utt_{i}" for i in range(L)],
+        }
+        for m, key in (("text", "text"), ("audio", "audio"), ("visual", "visual")):
+            feat = protos[m][label] + 0.8 * rng.normal(size=(L, dims[m]))
+            sample[key] = feat.astype(np.float32)
+        res.append(sample)
+    return res
+
+
+def synthetic_mosei(n_classes: int, split: str = "train", seed: int = 0, **kw):
+    """MOSEI-shaped samples with multitask labels (emo_label / senti2_label)."""
+    base = synthetic_erc("mosei", 7, split, seed=seed, **kw)
+    rng = np.random.default_rng(seed + 7)
+    for s in base:
+        L = len(s["label"])
+        s["speakers"] = [[0]]
+        emo = np.zeros((L, 7), dtype=int)
+        emo[np.arange(L), s["label"]] = 1
+        s["emo_label"] = emo
+        s["senti2_label"] = rng.integers(0, 2, L)
+        s["senti7_label"] = rng.integers(0, 7, L)
+        s["label"] = s["senti2_label"].astype(np.int64) if n_classes == 2 else s["label"]
+    return base

@@ -1,0 +1,122 @@
+"""Shared ERC params: the dataset-name grammar → model dims derivation.
+
+Port of MMBaseParams (reference: track_mm/mmbase.py:22-127): the dataset
+string ``{dataset}-{feature_set}-[replacements]-{n_classes}`` drives hidden
+dims, class names and speaker counts.  ``synthetic-*`` names reuse the same
+grammar (synthetic-cogmen-6 has iemocap-cogmen geometry).
+"""
+
+from __future__ import annotations
+
+from erc_tpu.core.params import BaseParams
+from erc_tpu.train import optim as optim_factory
+
+
+class MMBaseParams(BaseParams):
+    def __init__(self):
+        super().__init__()
+        self.seed = 1
+        self.module = None
+        self.method = None
+
+        self.class_names = []
+        self.modality = self.choice("atv", "av", "at", "tv", "t", "a", "v")
+        self.n_speakers = 2
+
+        self.batch_first = True
+        self.speaker_onehot = False
+        self.balance_data = False
+        self.evalute_stage = False
+
+        self.hidden_text = 100
+        self.hidden_audio = 100
+        self.hidden_visual = 100
+        self.hidden_all = 300
+        self.reimplement = False
+
+        self.mosei_metric = "multiemo"
+        self.confusion_matrix = True
+
+        self.epoch = 10
+        self.train.batch_size = 32
+        self.test.batch_size = 32
+        self.device = 0  # accepted for CLI parity; placement is mesh-driven
+
+        # data pipeline (TPU additions)
+        self.max_seq_len = 128
+        self.length_bucket = 0  # 0 = single bucket (pad to max_seq_len); >0 = bucketed
+        self.sort_by_length = True
+        self.eval_per_epoch = 1
+        self.data_root = None
+
+        self.optim = optim_factory.create_optim("Adam", lr=1e-3)
+
+    @property
+    def n_classes(self) -> int:
+        return round(float(self.dataset.split("-")[-1]))
+
+    def iparams(self):
+        super().iparams()
+        ds = self.dataset
+        if self.get("debug"):
+            self.train.batch_size = 2
+            self.test.batch_size = 2
+
+        if "mosei" not in ds:
+            self.mosei_metric = ""
+
+        if "iemocap" in ds or ("synthetic" in ds and "cogmen" in ds):
+            if self.n_classes == 4:
+                self.class_names = ["hap", "sad", "neu", "ang"]
+            elif self.n_classes == 6:
+                self.class_names = ["hap", "sad", "neu", "ang", "exc", "fru"]
+            if "cogmen" in ds:
+                self.hidden_audio = 100
+                self.hidden_text = 100
+                self.hidden_visual = 512
+        elif "meld" in ds:
+            self.class_names = [
+                "neutral", "sad", "mad", "scared", "powerful", "peaceful", "joyful"
+            ]
+            self.n_speakers = 9
+            if "mmgcn" in ds or "synthetic" in ds:
+                self.hidden_audio = 300
+                self.hidden_text = 600
+                self.hidden_visual = 342
+        elif "mosei" in ds:
+            self.class_names = ["hap", "sad", "disgust", "fear", "surprise", "ang"]
+            self.hidden_text = 300
+            self.hidden_audio = 74
+            self.hidden_visual = 35
+
+        if "pad80" in ds:
+            self.hidden_audio = 80
+        elif "fbank" in ds:
+            self.hidden_audio = 640
+        elif "is10" in ds:
+            self.hidden_audio = 1584
+
+        if "sbert" in ds or "robert" in ds:
+            self.hidden_text = 768
+
+        hv = None
+        if "tsn" in ds:
+            hv = 2048
+        if hv:
+            if "v+" in ds:
+                self.hidden_visual += hv
+            else:
+                self.hidden_visual = hv
+
+        self.hidden_all = 0
+        if "t" in self.modality:
+            self.hidden_all += self.hidden_text
+        if "a" in self.modality:
+            self.hidden_all += self.hidden_audio
+        if "v" in self.modality:
+            self.hidden_all += self.hidden_visual
+
+    # modality-ordered (dim per modality char) — collate concat order
+    def modality_dims(self):
+        d = {"a": self.hidden_audio, "t": self.hidden_text, "v": self.hidden_visual}
+        return {m: d[m] for m in self.modality}

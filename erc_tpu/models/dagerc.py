@@ -1,0 +1,199 @@
+"""DAG-ERC: Directed Acyclic Graph network for conversational emotion.
+
+TPU re-design of reference track_mm/dagerc.py + dagerc_models.py: a DAG
+over past context (predecessors until the previous same-speaker turn,
+windowp=1) with, per layer, a GAT gather over already-computed outputs and
+a dual GRU (node-GRU + proxy-GRU) sequential recurrence (dagerc.py:156-198).
+
+The O(L) python recurrence with a growing ``H1`` concat becomes a single
+``lax.scan`` over the utterance axis with fixed [B, L, D] carry buffers.
+The GAT's per-step linear transforms (Wr0/Wr1/key-proj of H1) are applied
+*incrementally* — each new node is transformed once when appended — turning
+the reference's O(L²·D²) retransforms into O(L·D²) + O(L²·D) attention.
+
+Trainer parity: AdamW, grad-clip 5.0 (dagerc.py:230), ReduceLROnPlateau
+(dagerc.py:212), reimplement hyperparameters (dagerc.py:45-67).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from erc_tpu.models.base import MMBaseParams
+from erc_tpu.ops import graphs
+from erc_tpu.ops.rnn import _uniform_init, gru_cell
+from erc_tpu.train import optim as optim_factory
+from erc_tpu.train.trainer import Trainer, main as _main
+
+
+class DAGERCParams(MMBaseParams):
+    def __init__(self):
+        super().__init__()
+        self.train.batch_size = 8
+        self.test.batch_size = 8
+        self.num_heads = 10
+        self.gnn_heads = 1
+        self.gnn_layers = 4
+        self.dropout = 0.0
+        self.dataset = "iemocap-cogmen-6"
+        self.epoch = 30
+        self.optim = optim_factory.create_optim("AdamW", lr=1e-3)
+        self.speaker_onehot = True
+        self.windowp = 1
+        self.hidden_dim = 300
+
+    def iparams(self):
+        super().iparams()
+        if self.reimplement:
+            if "iemocap" in self.dataset:
+                self.dropout = 0.2
+                self.epoch = 55
+                self.train.batch_size = 16
+                self.optim.lr = 0.0005
+                self.gnn_layers = 4
+            elif "meld" in self.dataset:
+                self.optim.lr = 0.00001
+                self.train.batch_size = 64
+                self.epoch = 70
+                self.dropout = 0.1
+            elif "emorynlp" in self.dataset:
+                self.optim.lr = 0.00005
+                self.train.batch_size = 32
+                self.epoch = 100
+                self.dropout = 0.3
+            elif "dailydialog" in self.dataset:
+                self.gnn_layers = 3
+                self.optim.lr = 0.00002
+                self.train.batch_size = 64
+                self.epoch = 50
+                self.dropout = 0.3
+
+
+ParamsType = DAGERCParams
+
+
+class DAGLayer(nn.Module):
+    """One DAG recurrence layer: GAT_dialoggcn_v1 gather + dual GRUCell.
+
+    Scan carry: (H1, V0, V1, K) buffers [B, L, D]; V0/V1/K hold the
+    Wr0/Wr1/key transforms of H1 rows, filled incrementally.
+    """
+
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(self, H, adj, s_mask):
+        D = self.hidden_dim
+        B, L, _ = H.shape
+        scale = 1.0 / jnp.sqrt(D)
+
+        # GAT_dialoggcn_v1 params (dagerc_models.py:319-324): torch Linear
+        # default init (kaiming-uniform ~ lecun-ish); we use uniform(±1/√fan)
+        att_w = self.param("att_w", _uniform_init(1.0 / jnp.sqrt(2 * D)), (2 * D, 1))
+        att_b = self.param("att_b", _uniform_init(1.0 / jnp.sqrt(2 * D)), (1,))
+        wr0 = self.param("Wr0", _uniform_init(1.0 / jnp.sqrt(D)), (D, D))
+        wr1 = self.param("Wr1", _uniform_init(1.0 / jnp.sqrt(D)), (D, D))
+        # GRU cells (dagerc.py:90-91)
+        pc = {
+            n: self.param(f"gru_c_{n}", _uniform_init(scale), s)
+            for n, s in (("w_ih", (3 * D, D)), ("w_hh", (3 * D, D)), ("b_ih", (3 * D,)), ("b_hh", (3 * D,)))
+        }
+        pp = {
+            n: self.param(f"gru_p_{n}", _uniform_init(scale), s)
+            for n, s in (("w_ih", (3 * D, D)), ("w_hh", (3 * D, D)), ("b_ih", (3 * D,)), ("b_hh", (3 * D,)))
+        }
+
+        wq, wk = att_w[:D, 0], att_w[D:, 0]  # split cat(Q,K) weight
+
+        # hoisted input projections (per-position, MXU-batched)
+        xproj_c = H @ pc["w_ih"].T + pc["b_ih"]  # gru_c input = H[l][:, i]
+        q_att = H @ wq  # [B, L] query part of attention logits
+
+        Hs = jnp.swapaxes(H, 0, 1)  # [L, B, D]
+        xcs = jnp.swapaxes(xproj_c, 0, 1)  # [L, B, 3D]
+        qs = jnp.swapaxes(q_att, 0, 1)  # [L, B]
+        adjs = jnp.swapaxes(adj, 0, 1)  # [L, B, L] rows adj[:, i, :]
+        sms = jnp.swapaxes(s_mask, 0, 1)  # [L, B, L]
+
+        def step(carry, inp):
+            H1, V0, V1, Kp = carry
+            h_i, xc_i, q_i, adj_i, sm_i, i = inp
+            # attention logits over all slots; adj_i already restricts to j<i
+            alpha = q_i[:, None] + Kp + att_b[0]  # [B, L]
+            alpha = alpha - (1.0 - adj_i) * 1e30
+            attn = jax.nn.softmax(alpha, axis=-1)
+            Vsel = V0 * sm_i[..., None] + V1 * (1.0 - sm_i[..., None])
+            M = jnp.einsum("bl,bld->bd", attn, Vsel)
+            M = jnp.where(i == 0, 0.0, M)
+            C = gru_cell(xc_i, M, pc["w_hh"], pc["b_hh"])
+            xp_m = M @ pp["w_ih"].T + pp["b_ih"]
+            P = gru_cell(xp_m, h_i, pp["w_hh"], pp["b_hh"])
+            h1 = C + P
+            H1 = H1.at[:, i].set(h1)
+            V0 = V0.at[:, i].set(h1 @ wr0.T)
+            V1 = V1.at[:, i].set(h1 @ wr1.T)
+            Kp = Kp.at[:, i].set(h1 @ wk)
+            return (H1, V0, V1, Kp), h1
+
+        zeros = jnp.zeros((B, L, D), H.dtype)
+        init = (zeros, zeros, zeros, jnp.zeros((B, L), H.dtype))
+        (_, _, _, _), ys = jax.lax.scan(
+            step, init, (Hs, xcs, qs, adjs, sms, jnp.arange(L))
+        )
+        return jnp.swapaxes(ys, 0, 1)  # [B, L, D]
+
+
+class DAGERCModule(nn.Module):
+    emb_dim: int
+    n_classes: int
+    gnn_layers: int = 4
+    hidden_dim: int = 300
+    windowp: int = 1
+    drop_rate: float = 0.2
+
+    @nn.compact
+    def __call__(self, batch, deterministic: bool = True):
+        x = batch["input_tensor"]
+        mask = batch["attention_mask"]
+        speakers = batch["speaker_ids"]
+        lengths = batch["text_length"]
+        L = x.shape[1]
+
+        adj = graphs.dag_adjacency(speakers, lengths, L, self.windowp)
+        s_mask = graphs.same_speaker_mask(speakers)
+
+        H0 = nn.relu(nn.Dense(self.hidden_dim, name="fc1")(x))
+        Hs = [H0]
+        for l in range(self.gnn_layers):
+            Hs.append(DAGLayer(self.hidden_dim, name=f"layer_{l}")(Hs[-1], adj, s_mask))
+        H = jnp.concatenate(Hs + [x], axis=-1)
+
+        # out_mlp (dagerc.py:99-106); attentive_node_features is identity
+        # for nodal_att_type=None (dagerc.py:83, dagerc_models.py:441-442)
+        h = nn.relu(nn.Dense(self.hidden_dim, name="out_0")(H))
+        h = nn.relu(nn.Dense(self.hidden_dim, name="out_1")(h))
+        if not deterministic and self.drop_rate > 0:
+            h = nn.Dropout(self.drop_rate)(h, deterministic=False)
+        return nn.Dense(self.n_classes, name="out_2")(h)
+
+
+class DAGERCTrainer(Trainer):
+    def imodels(self, params: ParamsType):
+        self.model = DAGERCModule(
+            emb_dim=params.hidden_all,
+            n_classes=params.n_classes,
+            gnn_layers=int(params.gnn_layers),
+            hidden_dim=int(params.hidden_dim),
+            windowp=int(params.windowp),
+            drop_rate=float(params.dropout),
+        )
+        # grad clip 5.0 (dagerc.py:230)
+        self.tx = optim_factory.build_optim(params.optim, grad_clip_norm=5.0)
+        self.lr_sche = optim_factory.ReduceLROnPlateau(mode="min")
+
+
+main = partial(_main, DAGERCTrainer, DAGERCParams)

@@ -1,0 +1,135 @@
+"""DialogueGCN (v1, "dgcn"): biLSTM context → windowed graph with learned
+edge weights → RGCN(num_bases=30) + GraphConv → concat classifier.
+
+TPU re-design of reference track_mm/dgcn.py + dgcn_models.py:
+- SeqContext packed biLSTM (dgcn_models.py:10-33) → masked lax.scan BiRNN
+- EdgeAtt per-node windowed softmax (dgcn_models.py:121-152, python loops
+  with a width-110 alpha buffer) → one dense masked softmax
+- batch_graphify + vendored PyG-1.4.2 RGCNConv with edge_norm
+  (models/rgcn.py:324-355) → DenseRGCN(aggr='add', num_bases=30)
+- class-frequency loss weights (dgcn.py:108-112)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from erc_tpu.models.base import MMBaseParams
+from erc_tpu.ops import graphs
+from erc_tpu.ops.attention import masked_softmax
+from erc_tpu.ops.gnn import DenseGraphConv, DenseRGCN
+from erc_tpu.ops.rnn import BiRNN
+from erc_tpu.train import optim as optim_factory
+from erc_tpu.train.trainer import Trainer, main as _main
+
+# IEMOCAP-6 inverse class frequencies (reference: dgcn.py:109-111)
+IEMOCAP6_LOSS_WEIGHTS = [
+    1 / 0.086747, 1 / 0.144406, 1 / 0.227883, 1 / 0.160585, 1 / 0.127711, 1 / 0.252668,
+]
+
+
+class DGCNParams(MMBaseParams):
+    def __init__(self):
+        super().__init__()
+        self.train.batch_size = 32
+        self.val.batch_size = 32
+        self.test.batch_size = 32
+        self.loss_weights = True
+        self.dataset = "iemocap-cogmen-6"
+        self.epoch = 55
+        self.optim = optim_factory.create_optim("Adam", lr=0.0003, weight_decay=0)
+        self.wp = 10
+        self.wf = 10
+        self.hidden_size = 200
+        self.drop_rate = 0.4
+
+
+ParamsType = DGCNParams
+
+
+class EdgeAtt(nn.Module):
+    """Dense re-formulation of EdgeAtt (dgcn_models.py:121-152).
+
+    α[b, u, v] = softmax_{v ∈ window(u)} ( x_u · (W x_v) );
+    the reference computes this per node with python loops and stores it in
+    a [L, 110] buffer — here it is one [B, L, L] masked softmax.
+    """
+
+    wp: int
+    wf: int
+
+    @nn.compact
+    def __call__(self, x, lengths):
+        D = x.shape[-1]
+        # reference init: normal(0, 2/(dim0+dim1)) (dgcn_models.py:128-130)
+        w = self.param(
+            "weight", nn.initializers.normal(stddev=2.0 / (2 * D)), (D, D)
+        )
+        L = x.shape[1]
+        wx = x @ w.T  # (W x_v) with torch matmul(weight, x) convention
+        scores = jnp.einsum("bud,bvd->buv", x, wx)
+        win = graphs.window_adjacency(lengths, L, self.wp, self.wf)
+        return masked_softmax(scores, win, axis=-1, mode="where")
+
+
+class DGCNModule(nn.Module):
+    input_size: int
+    hidden_size: int = 200
+    n_speakers: int = 2
+    wp: int = 10
+    wf: int = 10
+    n_classes: int = 4
+    drop_rate: float = 0.4
+
+    @nn.compact
+    def __call__(self, batch, deterministic: bool = True):
+        x = batch["input_tensor"]
+        mask = batch["attention_mask"]
+        speakers = batch["speaker_ids"]
+        lengths = batch["text_length"]
+        L = x.shape[1]
+        h1_dim = h2_dim = hc_dim = 100
+
+        feats = BiRNN(
+            hidden_size=self.hidden_size // 2, num_layers=2, cell="lstm",
+            bidirectional=True, dropout=self.drop_rate, name="rnn",
+        )(x, mask, deterministic=deterministic)
+
+        edge_norm = EdgeAtt(self.wp, self.wf, name="edge_att")(feats, lengths)
+        adj = graphs.window_adjacency(lengths, L, self.wp, self.wf)
+        rel = graphs.relation_ids(speakers, self.n_speakers)
+
+        g = DenseRGCN(
+            h1_dim, 2 * self.n_speakers**2, num_bases=30, aggr="add", name="conv1"
+        )(feats, adj, rel, edge_norm=edge_norm)
+        g = DenseGraphConv(h2_dim, name="conv2")(g, adj)
+
+        h = jnp.concatenate([feats, g], -1)
+        h = nn.Dense(hc_dim, name="clf_lin1")(h)
+        h = nn.relu(h)
+        if not deterministic and self.drop_rate > 0:
+            h = nn.Dropout(self.drop_rate)(h, deterministic=False)
+        return nn.Dense(self.n_classes, name="clf_lin2")(h)
+
+
+class DGCNTrainer(Trainer):
+    def imodels(self, params: ParamsType):
+        self.model = DGCNModule(
+            input_size=params.hidden_all,
+            hidden_size=params.hidden_size,
+            n_speakers=params.n_speakers,
+            wp=params.wp,
+            wf=params.wf,
+            n_classes=params.n_classes,
+            drop_rate=params.drop_rate,
+        )
+        self.tx = optim_factory.build_optim(params.optim)
+        if params.get("loss_weights", True) and params.n_classes == 6:
+            self.class_weights = jnp.asarray(IEMOCAP6_LOSS_WEIGHTS, jnp.float32)
+
+
+main = partial(_main, DGCNTrainer, DGCNParams)

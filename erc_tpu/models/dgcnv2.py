@@ -1,0 +1,274 @@
+"""DialogueGCN v2 ("dgcnv2"): selectable base encoder (LSTM / GRU /
+DialogueRNN / None) → windowed graph with MaskedEdgeAttention weights →
+GraphNetwork (RGCN + GraphConv) → nodal-attention classifier.
+
+TPU re-design of reference track_mm/dgcnv2.py + dgcnv2_models.py:
+- DialogueRNN's per-timestep python loop over global/party/emotion GRU
+  cells (dgcnv2_models.py:235-347) → one ``lax.scan`` with a g-history
+  buffer and prefix-masked matching attention
+- MaskedEdgeAttention 'attn1' (dgcnv2_models.py:517-596): the [110]-wide
+  scalar projection becomes logits[u, v] = W[u]·x_v with a windowed
+  masked softmax (global-softmax-then-renormalize ≡ windowed softmax)
+- GraphNetwork (dgcnv2_models.py:753-773) over dense adjacency
+- nodal attention = MatchingAttention('general2') over all valid nodes
+  (dgcnv2_models.py:693-750)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from erc_tpu.models.base import MMBaseParams
+from erc_tpu.models.dgcn import IEMOCAP6_LOSS_WEIGHTS
+from erc_tpu.ops import graphs
+from erc_tpu.ops.attention import masked_softmax
+from erc_tpu.ops.gnn import DenseGraphConv, DenseRGCN
+from erc_tpu.ops.rnn import BiRNN, _uniform_init, gru_cell
+from erc_tpu.train import optim as optim_factory
+from erc_tpu.train.trainer import Trainer, main as _main
+
+
+class DGCNV2Params(MMBaseParams):
+    def __init__(self):
+        super().__init__()
+        self.train.batch_size = 32
+        self.val.batch_size = 32
+        self.test.batch_size = 32
+        self.base_model = self.choice("LSTM", "DialogRNN", "GRU", "None")
+        self.dataset = "iemocap-cogmen-6"
+        self.epoch = 55
+        self.optim = optim_factory.create_optim("Adam", lr=0.0003, weight_decay=0)
+        self.loss_weights = True
+        self.speaker_onehot = True
+        self.batch_first = False
+        self.wp = 10
+        self.wf = 10
+        self.hidden_size = 100
+
+
+ParamsType = DGCNV2Params
+
+
+class _GRUCellParams:
+    """Torch-layout GRUCell params owned by a parent linen module."""
+
+    def __init__(self, mod: nn.Module, name: str, in_dim: int, hidden: int):
+        scale = 1.0 / jnp.sqrt(hidden)
+        self.w_ih = mod.param(f"{name}_w_ih", _uniform_init(scale), (3 * hidden, in_dim))
+        self.w_hh = mod.param(f"{name}_w_hh", _uniform_init(scale), (3 * hidden, hidden))
+        self.b_ih = mod.param(f"{name}_b_ih", _uniform_init(scale), (3 * hidden,))
+        self.b_hh = mod.param(f"{name}_b_hh", _uniform_init(scale), (3 * hidden,))
+
+    def __call__(self, x, h):
+        return gru_cell(x @ self.w_ih.T + self.b_ih, h, self.w_hh, self.b_hh)
+
+
+class DialogueRNNScan(nn.Module):
+    """DialogueRNN (dgcnv2_models.py:235-347) as a single scan.
+
+    Per step t: global GRU over [U_t, q_speaker], matching attention
+    ('general') of U_t over the g-history prefix, party GRU update gated by
+    the speaker one-hot, emotion GRU over the speaker's party state.
+    """
+
+    D_m: int
+    D_g: int
+    D_p: int
+    D_e: int
+    D_a: int = 100
+    dropout: float = 0.5
+    n_parties: int = 2
+
+    @nn.compact
+    def __call__(self, U, qmask, mask, deterministic: bool = True):
+        """U: [B, L, D_m]; qmask: [B, L, P] one-hot; mask: [B, L]."""
+        B, L, _ = U.shape
+        P = self.n_parties
+        g_cell = _GRUCellParams(self, "g_cell", self.D_m + self.D_p, self.D_g)
+        p_cell = _GRUCellParams(self, "p_cell", self.D_m + self.D_g, self.D_p)
+        e_cell = _GRUCellParams(self, "e_cell", self.D_p, self.D_e)
+        # MatchingAttention 'general' (mmgcn-style): transform(x) @ M
+        att_w = self.param(
+            "att_transform", _uniform_init(1.0 / jnp.sqrt(self.D_m)), (self.D_g, self.D_m)
+        )
+
+        if not deterministic and self.dropout > 0:
+            drop_rng = self.make_rng("dropout")
+        else:
+            drop_rng = None
+        keep = 1.0 - self.dropout
+
+        def drop(t, key, tag):
+            if drop_rng is None:
+                return t
+            k = jax.random.fold_in(jax.random.fold_in(drop_rng, tag), key)
+            m = jax.random.bernoulli(k, keep, t.shape)
+            return jnp.where(m, t / keep, 0.0)
+
+        Us = jnp.swapaxes(U, 0, 1)  # [L, B, D_m]
+        qs_seq = jnp.swapaxes(qmask, 0, 1)  # [L, B, P]
+
+        def step(carry, inp):
+            g_hist, g_prev, q0, e_prev, t = carry
+            u_t, qm_t = inp
+            qm_idx = qm_t.argmax(-1)  # [B]
+            q0_sel = jnp.take_along_axis(q0, qm_idx[:, None, None], 1)[:, 0]  # [B, D_p]
+            g_ = g_cell(jnp.concatenate([u_t, q0_sel], -1), g_prev)
+            g_ = drop(g_, t, 0)
+            # attention over history (strictly previous steps)
+            xq = u_t @ att_w.T  # [B, D_g]
+            logits = jnp.einsum("bd,bld->bl", xq, g_hist)
+            prefix = (jnp.arange(L)[None, :] < t).astype(U.dtype)
+            alpha = masked_softmax(logits, prefix, mode="where")
+            c_ = jnp.einsum("bl,bld->bd", alpha, g_hist)
+            c_ = jnp.where(t == 0, 0.0, c_)
+            # party update: same input for every party, gated by qmask
+            uc = jnp.concatenate([u_t, c_], -1)  # [B, D_m + D_g]
+            uc_p = jnp.repeat(uc[:, None, :], P, 1).reshape(B * P, -1)
+            qs_ = p_cell(uc_p, q0.reshape(B * P, -1)).reshape(B, P, -1)
+            qs_ = drop(qs_, t, 1)
+            q_ = q0 * (1 - qm_t[..., None]) + qs_ * qm_t[..., None]
+            q_sel = jnp.take_along_axis(q_, qm_idx[:, None, None], 1)[:, 0]
+            e_ = e_cell(q_sel, e_prev)
+            e_ = drop(e_, t, 2)
+            g_hist = g_hist.at[:, t].set(g_)
+            return (g_hist, g_, q_, e_, t + 1), e_
+
+        init = (
+            jnp.zeros((B, L, self.D_g), U.dtype),
+            jnp.zeros((B, self.D_g), U.dtype),
+            jnp.zeros((B, P, self.D_p), U.dtype),
+            jnp.zeros((B, self.D_e), U.dtype),
+            jnp.zeros((), jnp.int32),
+        )
+        _, es = jax.lax.scan(step, init, (Us, qs_seq))
+        return jnp.swapaxes(es, 0, 1)  # [B, L, D_e]
+
+
+def reverse_padded(x, mask):
+    """Per-sequence reverse of the valid prefix (dgcnv2.py:119-133)."""
+    L = x.shape[1]
+    lengths = mask.sum(-1).astype(jnp.int32)  # [B]
+    idx = jnp.arange(L)[None, :]
+    rev = lengths[:, None] - 1 - idx
+    rev = jnp.clip(rev, 0, L - 1)
+    out = jnp.take_along_axis(x, rev[..., None].astype(jnp.int32), 1)
+    return out * mask[..., None]
+
+
+class MaskedEdgeAttentionDense(nn.Module):
+    """'attn1' edge weights (dgcnv2_models.py:541-562) in dense form."""
+
+    input_dim: int
+    max_seq_len: int
+    wp: int
+    wf: int
+
+    @nn.compact
+    def __call__(self, x, lengths):
+        L = x.shape[1]
+        W = self.param(
+            "scalar", _uniform_init(1.0 / jnp.sqrt(self.input_dim)),
+            (self.max_seq_len, self.input_dim),
+        )
+        logits = jnp.einsum("ud,bvd->buv", W[:L], x)
+        win = graphs.window_adjacency(lengths, L, self.wp, self.wf)
+        return masked_softmax(logits, win, axis=-1, mode="where")
+
+
+class DGCNV2Module(nn.Module):
+    base_model: str
+    input_size: int
+    hidden_size: int = 100
+    n_speakers: int = 2
+    wp: int = 10
+    wf: int = 10
+    n_classes: int = 7
+    dropout_rec: float = 0.5
+    drop_rate: float = 0.4
+    max_seq_len: int = 110
+    graph_hidden_size: int = 100
+
+    @nn.compact
+    def __call__(self, batch, deterministic: bool = True):
+        x = batch["input_tensor"]
+        mask = batch["attention_mask"]
+        spk_ids = batch["speaker_ids"]
+        lengths = batch["text_length"]
+        L = x.shape[1]
+        D_g, D_p = 150, 150
+        qmask = jax.nn.one_hot(spk_ids, self.n_speakers, dtype=x.dtype) * mask[..., None]
+
+        if self.base_model == "DialogRNN":
+            f = DialogueRNNScan(
+                self.input_size, D_g, D_p, self.hidden_size,
+                dropout=self.dropout_rec, n_parties=self.n_speakers, name="dialog_rnn_f",
+            )(x, qmask, mask, deterministic)
+            xr = reverse_padded(x, mask)
+            qr = reverse_padded(qmask, mask)
+            b = DialogueRNNScan(
+                self.input_size, D_g, D_p, self.hidden_size,
+                dropout=self.dropout_rec, n_parties=self.n_speakers, name="dialog_rnn_r",
+            )(xr, qr, mask, deterministic)
+            b = reverse_padded(b, mask)
+            emotions = jnp.concatenate([f, b], -1)
+        elif self.base_model in ("LSTM", "GRU"):
+            emotions = BiRNN(
+                hidden_size=self.hidden_size, num_layers=2,
+                cell=self.base_model.lower(), bidirectional=True,
+                dropout=self.drop_rate, name="rnn",
+            )(x, mask, deterministic=deterministic)
+        else:  # 'None'
+            emotions = nn.Dense(2 * self.hidden_size, name="base_linear")(x)
+
+        edge_norm = MaskedEdgeAttentionDense(
+            2 * self.hidden_size, self.max_seq_len, self.wp, self.wf, name="att_model"
+        )(emotions, lengths)
+        adj = graphs.window_adjacency(lengths, L, self.wp, self.wf)
+        rel = graphs.relation_ids(spk_ids, self.n_speakers)
+
+        g = DenseRGCN(
+            self.graph_hidden_size, 2 * self.n_speakers**2, num_bases=30,
+            aggr="add", name="conv1",
+        )(emotions, adj, rel, edge_norm=edge_norm)
+        g = DenseGraphConv(self.graph_hidden_size, name="conv2")(g, adj)
+        em = jnp.concatenate([emotions, g], -1)  # [B, L, 300]
+
+        # nodal attention: MatchingAttention 'general2' over all valid nodes
+        D = em.shape[-1]
+        mt_w = self.param("matchatt_w", _uniform_init(1.0 / jnp.sqrt(D)), (D, D))
+        mt_b = self.param("matchatt_b", _uniform_init(1.0 / jnp.sqrt(D)), (D,))
+        xq = em @ mt_w.T + mt_b
+        scores = jnp.tanh(jnp.einsum("bqd,bkd->bqk", xq, em * mask[:, :, None]) * mask[:, None, :])
+        alpha = jax.nn.softmax(scores, -1) * mask[:, None, :]
+        alpha = alpha / jnp.maximum(alpha.sum(-1, keepdims=True), 1e-10)
+        att_em = jnp.einsum("bqk,bkd->bqd", alpha, em)
+
+        h = nn.relu(nn.Dense(self.graph_hidden_size, name="linear")(att_em))
+        if not deterministic and self.drop_rate > 0:
+            h = nn.Dropout(0.5)(h, deterministic=False)
+        return nn.Dense(self.n_classes, name="smax_fc")(h)
+
+
+class DGCNV2Trainer(Trainer):
+    def imodels(self, params: ParamsType):
+        self.model = DGCNV2Module(
+            base_model=params.base_model,
+            input_size=params.hidden_all,
+            hidden_size=params.hidden_size,
+            n_speakers=params.n_speakers,
+            wp=params.wp,
+            wf=params.wf,
+            n_classes=params.n_classes,
+            max_seq_len=int(params.max_seq_len),
+        )
+        self.tx = optim_factory.build_optim(params.optim)
+        if params.get("loss_weights", True) and params.n_classes == 6:
+            self.class_weights = jnp.asarray(IEMOCAP6_LOSS_WEIGHTS, jnp.float32)
+
+
+main = partial(_main, DGCNV2Trainer, DGCNV2Params)

@@ -1,0 +1,147 @@
+"""MMGCN: Multimodal Fusion via Deep Graph Convolution Network.
+
+TPU re-design of reference track_mm/mmgcn.py + mmgcn_models.py:
+per-modality encoders (linear / linear+biLSTM) → speaker embedding on text
+→ 3L×3L angular-similarity "big adjacency" (intra-modal blocks dense,
+cross-modal diagonal) → 64-layer GCNII (variant, initial-residual α=0.1,
+identity-map λ=0.5) → per-modality concat → linear head.
+
+The reference flattens all dialogues into one big graph and runs
+torch.spmm per layer (mmgcn_models.py:29); here the block-diagonal graph
+stays in padded batch form [B, 3L, 3L] and the 64 layers run as one
+``lax.scan`` of batched MXU matmuls (ops.gnn.GCNIIStack).
+
+Note: MMGatedAttention / MaskedEdgeAttention are constructed but unused in
+the reference forward path (mmgcn.py:92,76 vs :96-122); the compute path
+here matches the executed reference graph.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from erc_tpu.models.base import MMBaseParams
+from erc_tpu.ops import graphs
+from erc_tpu.ops.gnn import GCNIIStack
+from erc_tpu.ops.rnn import BiRNN
+from erc_tpu.train import optim as optim_factory
+from erc_tpu.train.trainer import Trainer, main as _main
+
+
+class MMGCNParams(MMBaseParams):
+    def __init__(self):
+        super().__init__()
+        self.epoch = 60
+        self.train.batch_size = 16
+        self.test.batch_size = 16
+        self.dataset = "iemocap-cogmen-6"
+        self.optim = optim_factory.create_optim("Adam", lr=0.0003, weight_decay=3e-5)
+        self.speaker_onehot = True
+        self.batch_first = False
+        self.graph_hidden_size = 200
+        self.gcn_layers = 64
+        self.drop_rate = 0.4
+
+    def iparams(self):
+        super().iparams()
+        if self.reimplement:
+            if "iemocap" in self.dataset:
+                self.optim.lr = 0.0003
+                self.optim.weight_decay = 3e-5
+            elif "meld" in self.dataset:
+                self.optim.lr = 0.0001
+                self.optim.weight_decay = 0
+
+
+ParamsType = MMGCNParams
+
+
+class MMGCNModule(nn.Module):
+    hidden_text: int = 100
+    hidden_audio: int = 100
+    hidden_visual: int = 512
+    n_speakers: int = 2
+    n_classes: int = 7
+    modals: str = "atv"
+    n_dim: int = 200  # 2 * D_e
+    graph_hidden_size: int = 200
+    gcn_layers: int = 64
+    drop_rate: float = 0.4
+    use_speaker: bool = True
+
+    @nn.compact
+    def __call__(self, batch, deterministic: bool = True):
+        mask = batch["attention_mask"]
+        spk_ids = batch["speaker_ids"]
+        B, L = mask.shape
+
+        def drop(t):
+            if not deterministic and self.drop_rate > 0:
+                return nn.Dropout(self.drop_rate)(t, deterministic=False)
+            return t
+
+        feats = {}
+        if "a" in self.modals:
+            feats["a"] = nn.Dense(self.n_dim, name="linear_a")(batch["audio_feature"])
+        if "v" in self.modals:
+            feats["v"] = nn.Dense(self.n_dim, name="linear_v")(batch["visual_feature"])
+        if "t" in self.modals:
+            t = nn.Dense(self.n_dim, name="linear_l")(batch["text_feature"])
+            t = BiRNN(
+                hidden_size=100, num_layers=2, cell="lstm", bidirectional=True,
+                dropout=self.drop_rate, name="lstm_l",
+            )(t, mask, deterministic=deterministic)
+            # speaker embedding added to text nodes (mmgcn_models.py:540-545)
+            if self.use_speaker:
+                spk_emb = nn.Embed(
+                    self.n_speakers, self.n_dim,
+                    embedding_init=nn.initializers.normal(1.0), name="speaker_embeddings",
+                )(spk_ids)
+                t = t + spk_emb * mask[..., None]
+            feats["t"] = t
+
+        order = [m for m in "avt" if m in self.modals]  # [a, v, l] order (ref)
+        flist = [feats[m] for m in order]
+        adj = graphs.mmgcn_big_adjacency(flist, mask)  # [B, M*L, M*L]
+        x = jnp.concatenate(flist, axis=1)  # [B, M*L, n_dim]
+
+        # GCNII_lyc (mmgcn_models.py:373-394): drop → fc0+relu → 64 convs → drop
+        x = drop(x)
+        h = nn.relu(nn.Dense(self.graph_hidden_size, name="fc0")(x))
+        h = GCNIIStack(
+            nlayers=self.gcn_layers, nhidden=self.graph_hidden_size,
+            lamda=0.5, alpha=0.1, dropout=self.drop_rate if not deterministic else 0.0,
+            name="gcnii",
+        )(h, adj, deterministic=deterministic)
+        h = drop(h)
+        h = jnp.concatenate([x, h], -1)  # use_residue → [B, M*L, n_dim + hidden]
+
+        # regroup modal chunks per utterance (mmgcn_models.py:571-576)
+        chunks = jnp.split(h, len(order), axis=1)
+        feat = jnp.concatenate(chunks, axis=-1)  # [B, L, M*(n_dim+hidden)]
+
+        feat = drop(feat)
+        feat = nn.relu(feat)
+        return nn.Dense(self.n_classes, name="smax_fc")(feat)
+
+
+class MMGCNTrainer(Trainer):
+    def imodels(self, params: ParamsType):
+        self.model = MMGCNModule(
+            hidden_text=params.hidden_text,
+            hidden_audio=params.hidden_audio,
+            hidden_visual=params.hidden_visual,
+            n_speakers=params.n_speakers,
+            n_classes=params.n_classes,
+            modals=params.modality,
+            graph_hidden_size=params.graph_hidden_size,
+            gcn_layers=params.gcn_layers,
+            drop_rate=params.drop_rate,
+        )
+        self.tx = optim_factory.build_optim(params.optim)
+
+
+main = partial(_main, MMGCNTrainer, MMGCNParams)

@@ -1,0 +1,171 @@
+"""MMIN base: utterance-level tri-modal classifier with EMA.
+
+TPU re-design of reference track_mm/mmin_base.py: TextCNN/LSTM encoders →
+FC classifier; Adam 2e-4; EMA(α=0.999) updated per step inside the jit
+train step; ReduceLROnPlateau on the eval loss (mmin_base.py:96-99,175).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from erc_tpu.core.meter import Meter, Record
+from erc_tpu.data.loader import DialogueLoader
+from erc_tpu.data.mmin import MMINBatcher, pick_mmin_datas, synthetic_mmin
+from erc_tpu.models.base import MMBaseParams
+from erc_tpu.models.mmin_models import MMINBaseModule
+from erc_tpu.parallel import mesh as meshlib
+from erc_tpu.train import optim as optim_factory
+from erc_tpu.train.trainer import (
+    Trainer,
+    main as _main,
+    masked_accuracy,
+    masked_cross_entropy,
+)
+
+
+class MMINBaseParams(MMBaseParams):
+    def __init__(self):
+        super().__init__()
+        self.train.batch_size = 32
+        self.val.batch_size = 32
+        self.test.batch_size = 32
+        self.num_heads = 10
+        self.confuse_matrix = True
+        self.dataset = "iemocap-mmin-4"
+        self.epoch = 55
+        self.optim = optim_factory.create_optim("Adam", lr=0.0002, weight_decay=0)
+        self.ema = True
+        self.ema_alpha = 0.999
+        self.max_audio_len = 128
+        self.pretrain_path = None
+
+
+ParamsType = MMINBaseParams
+
+
+class MMINBaseTrainer(Trainer):
+    def imodels(self, params: ParamsType):
+        self.model = MMINBaseModule(n_classes=params.n_classes)
+        self.tx = optim_factory.build_optim(params.optim)
+        self.lr_sche = optim_factory.ReduceLROnPlateau(mode="min")
+
+    # -- utterance-level data -------------------------------------------------
+    def mmin_batcher(self, batch_size: int, has_miss: bool) -> MMINBatcher:
+        data_axis = self.mesh.devices.shape[0]
+        pad_to = -(-int(batch_size) // data_axis) * data_axis
+        return MMINBatcher(
+            max_audio_len=int(self.params.get("max_audio_len", 128)),
+            has_miss=has_miss,
+            pad_batch_to=pad_to,
+            rng=self.rng.numpy_rng("missing"),
+        )
+
+    def has_miss(self) -> bool:
+        return False
+
+    def make_loader(self, split: str) -> DialogueLoader:
+        p = self.params
+        root = p.get("data_root") or ""
+        samples = pick_mmin_datas(root, p.dataset, split=split)
+        bs = int(p.train.batch_size if split == "train" else p.test.batch_size)
+        return DialogueLoader(
+            samples,
+            self.mmin_batcher(bs, has_miss=(split == "train" and self.has_miss())),
+            batch_size=bs,
+            shuffle=(split == "train"),
+            seed=p.seed,
+            sort_by_length=False,
+        )
+
+    def example_batch(self, L: int = 32, B: int = 2):
+        samples = synthetic_mmin(self.params.n_classes, "train", n_train=B)
+        return self.mmin_batcher(B, self.has_miss())(samples)
+
+    # -- loss with sample mask + EMA update in the jit step -------------------
+    def loss_and_metrics(self, variables, batch, rng, train: bool):
+        logits, _ = self.model.apply(
+            variables, batch, deterministic=not train, rngs={"dropout": rng}
+        )
+        mask = batch["sample_mask"]
+        loss = masked_cross_entropy(logits, batch["label"], mask)
+        return loss, ({"Lall": loss, "Acc": masked_accuracy(logits, batch["label"], mask)}, {})
+
+    def _build_step_fns(self):
+        super()._build_step_fns()
+        if not self.params.get("ema", True):
+            return
+        raw_step = self._make_raw_train_step()
+        alpha = float(self.params.get("ema_alpha", 0.999))
+
+        def step_with_ema(state, batch, key):
+            new_state, mets = raw_step(state, batch, key)
+            ema = state.ema_params if state.ema_params is not None else state.params
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: alpha * e + (1 - alpha) * p, ema, new_state.params
+            )
+            return new_state.replace(ema_params=new_ema), mets
+
+        self._train_step_fn = jax.jit(step_with_ema, donate_argnums=0)
+
+    def initialize(self):
+        super().initialize()
+        if self.params.get("ema", True) and self.state.ema_params is None:
+            # distinct buffers: the train step donates its input, and the
+            # same buffer cannot be donated through two pytree fields
+            self.state = self.state.replace(
+                ema_params=jax.tree_util.tree_map(jnp.copy, self.state.params)
+            )
+
+    def to_logits(self, variables, batch):
+        logits, _ = self.model.apply(variables, batch, deterministic=True)
+        return logits
+
+    def test_step_collect(self, batch, logits):
+        mask = np.asarray(batch["sample_mask"]) > 0
+        labels = np.asarray(batch["label"])
+        pred = np.asarray(logits).argmax(-1)
+        sel = mask & (labels >= 0)
+        self._true.extend(labels[sel].tolist())
+        self._pred.extend(pred[sel].tolist())
+
+    # -- eval (val split) drives ReduceLROnPlateau (mmin_base.py:171-176) -----
+    def evaluate(self):
+        loader = getattr(self, "_val_loader", None)
+        if loader is None:
+            loader = self._val_loader = self.make_loader("val")
+        rec = Record("eval")
+        for batch in loader:
+            sharded = meshlib.shard_batch(batch, self.mesh)
+            logits = self._eval_fn(self.state, sharded)
+            mask = jnp.asarray(sharded["sample_mask"])
+            loss = masked_cross_entropy(jnp.asarray(logits), jnp.asarray(sharded["label"]), mask)
+            m = Meter()
+            m.Lall = loss
+            rec.record(m)
+        l = rec.agg().get("Lall")
+        if l is not None:
+            from erc_tpu.train.optim import get_learning_rate, set_learning_rate
+
+            cur = get_learning_rate(self.state.opt_state)
+            if cur is not None:
+                new = self.lr_sche.step(float(l), cur)
+                if new != cur:
+                    self.logger.info(f"ReduceLROnPlateau: lr {cur} -> {new}")
+                    self.state = self.state.replace(
+                        opt_state=set_learning_rate(self.state.opt_state, new)
+                    )
+        self.logger.info(f"Evaluate Loss: {l}")
+        return l
+
+    def on_train_epoch_end(self, eidx, record):
+        self.evaluate()
+
+
+main = partial(_main, MMINBaseTrainer, MMINBaseParams)

@@ -1,0 +1,31 @@
+"""Persistent XLA compilation cache.
+
+First compiles through the axon remote-compile tunnel cost minutes; the
+persistent cache makes every later process start instant for unchanged
+programs.  Safe to call multiple times.
+"""
+
+from __future__ import annotations
+
+import os
+
+_enabled = False
+
+
+def enable_persistent_cache(path: str | None = None) -> None:
+    global _enabled
+    if _enabled:
+        return
+    import jax
+
+    path = path or os.environ.get(
+        "ERC_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/erc_tpu_xla")
+    )
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        _enabled = True
+    except Exception:
+        pass

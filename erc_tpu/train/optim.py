@@ -1,0 +1,119 @@
+"""Config-driven optimizer factory (reference: lumo/trainer/factory.py:24-106).
+
+The reference stores an ``OptimBuilder`` inside params (serializable) and
+builds ``torch.optim.<name>`` lazily.  Here ``create_optim`` fills a params
+subtree and ``build_optim`` turns it into an optax transform whose
+hyperparameters are injected (``optax.inject_hyperparams``), so LR can be
+changed at runtime — that is how ReduceLROnPlateau (dagerc.py:212) works
+without rebuilding the jit.
+
+Weight-decay semantics match torch:
+  Adam  (weight_decay) — L2 added to the gradient before moments
+  AdamW (weight_decay) — decoupled decay
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import optax
+
+from erc_tpu.core.params import Params
+
+
+def create_optim(name: str, lr: float = 1e-3, weight_decay: float = 0.0, **kw) -> Params:
+    p = Params()
+    p.name = name
+    p.lr = lr
+    p.weight_decay = weight_decay
+    for k, v in kw.items():
+        p[k] = v
+    return p
+
+
+def build_optim(cfg: Params, grad_clip_norm: Optional[float] = None):
+    name = cfg.get("name", "Adam").lower()
+    lr = float(cfg.get("lr", 1e-3))
+    wd = float(cfg.get("weight_decay", 0.0))
+    b1 = float(cfg.get("beta1", 0.9))
+    b2 = float(cfg.get("beta2", 0.999))
+    eps = float(cfg.get("eps", 1e-8))
+
+    def base(learning_rate):
+        if name == "adam":
+            chain = []
+            if wd:
+                chain.append(optax.add_decayed_weights(wd))  # torch Adam: L2 into grad
+            chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+            chain.append(optax.scale(-learning_rate))
+            return optax.chain(*chain)
+        if name == "adamw":
+            return optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps, weight_decay=wd)
+        if name == "sgd":
+            return optax.sgd(
+                learning_rate, momentum=cfg.get("momentum", 0.0) or None,
+                nesterov=bool(cfg.get("nesterov", False)),
+            )
+        if name == "lars":
+            return optax.lars(learning_rate, weight_decay=wd)
+        raise ValueError(f"unknown optimizer {name!r}")
+
+    tx = optax.inject_hyperparams(base)(learning_rate=lr)
+    if grad_clip_norm:
+        tx = optax.chain(optax.clip_by_global_norm(float(grad_clip_norm)), tx)
+    return tx
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Mutate injected LR in an inject_hyperparams state (host-side)."""
+    import jax
+
+    def walk(s):
+        if hasattr(s, "hyperparams") and "learning_rate" in s.hyperparams:
+            hp = dict(s.hyperparams)
+            hp["learning_rate"] = jax.numpy.asarray(lr, dtype=hp["learning_rate"].dtype)
+            return s._replace(hyperparams=hp)
+        if isinstance(s, tuple) and hasattr(s, "_fields"):
+            return s
+        if isinstance(s, tuple):
+            return tuple(walk(x) for x in s)
+        return s
+
+    return walk(opt_state)
+
+
+def get_learning_rate(opt_state) -> Optional[float]:
+    def walk(s):
+        if hasattr(s, "hyperparams") and "learning_rate" in s.hyperparams:
+            return float(s.hyperparams["learning_rate"])
+        if isinstance(s, tuple) and not hasattr(s, "_fields"):
+            for x in s:
+                r = walk(x)
+                if r is not None:
+                    return r
+        return None
+
+    return walk(opt_state)
+
+
+class ReduceLROnPlateau:
+    """Host-side LR controller (reference: dagerc.py:212, torch semantics)."""
+
+    def __init__(self, mode="min", factor=0.1, patience=10, min_lr=0.0):
+        self.mode, self.factor, self.patience, self.min_lr = mode, factor, patience, min_lr
+        self.best = None
+        self.bad = 0
+
+    def step(self, metric: float, lr: float) -> float:
+        better = self.best is None or (
+            metric < self.best if self.mode == "min" else metric > self.best
+        )
+        if better:
+            self.best = metric
+            self.bad = 0
+        else:
+            self.bad += 1
+            if self.bad > self.patience:
+                self.bad = 0
+                return max(lr * self.factor, self.min_lr)
+        return lr

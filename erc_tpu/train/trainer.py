@@ -1,0 +1,381 @@
+"""The train loop: single-jit functional step over a device mesh.
+
+Re-design of the reference's Trainer (lumo/trainer/trainer.py:37-676) and
+MMBaseTrainer (track_mm/mmbase.py:132-341).  The reference's reflective
+callback wrapping (base.py:110-155) is replaced by explicit hook points;
+DDP/accelerate by NamedSharding over the ``data`` mesh axis; the mutable
+train step by a pure ``(state, batch, step) -> (state, metrics)`` function
+compiled once per length bucket.
+
+Subclass contract (mirrors the reference's per-model trainers):
+    imodels(params)       — build self.model (flax module), self.tx (optax)
+    loss_and_metrics(...) — per-model loss; default is masked CE + Acc
+    to_logits(vars,batch) — eval-time logits [B, L, C]
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from erc_tpu.core.experiment import Experiment
+from erc_tpu.core.logger import Logger
+from erc_tpu.core.meter import Meter, Record
+from erc_tpu.core.metrics_db import BestMetrics, MetricBoard, PredictionStore
+from erc_tpu.core.seed import RngPool
+from erc_tpu.data.collate import ERCBatcher
+from erc_tpu.data.loader import DialogueLoader
+from erc_tpu.data.registry import get_root, pick_datas
+from erc_tpu.parallel import mesh as meshlib
+from erc_tpu.train import metrics as metrics_mod
+from erc_tpu.train.checkpoint import Saver
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    model_state: Any  # batch_stats etc.
+    step: jnp.ndarray
+    ema_params: Any = None  # EMA shadow (mmin: lumo.contrib EMA α=0.999)
+
+
+def masked_cross_entropy(logits, labels, mask, class_weights=None):
+    """Mean CE over valid positions == F.cross_entropy on mask-selected nodes.
+
+    With class weights, torch divides by the summed weight of the targets
+    (reference: dgcn.py:124 semantics of F.cross_entropy(weight=...)).
+    """
+    safe_labels = jnp.maximum(labels, 0)
+    logp = jax.nn.log_softmax(logits, -1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], -1)[..., 0]
+    if class_weights is not None:
+        w = class_weights[safe_labels] * mask
+        return (nll * w).sum() / jnp.maximum(w.sum(), 1e-8)
+    return (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def masked_accuracy(logits, labels, mask):
+    pred = logits.argmax(-1)
+    hit = (pred == labels) * mask
+    return hit.sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+class Trainer:
+    """Generic ERC trainer; one subclass per model family."""
+
+    def __init__(self, params, exp_name: Optional[str] = None):
+        from erc_tpu.parallel.cache import enable_persistent_cache
+
+        enable_persistent_cache()
+        self.params = params
+        self.logger = Logger()
+        self.rng = RngPool(params.seed)
+        self.exp = Experiment(exp_name or f"erc_tpu.{type(self).__name__}")
+        self.exp.record_start()
+        self.logger.add_log_dir(self.exp.test_dir)
+        self.database = BestMetrics(self.exp.test_file("metrics.json"))
+        self.metric_board = MetricBoard(self.exp.test_file("board.jsonl"))
+        self.pred_info = PredictionStore(self.exp.blob_file("predictions.jsonl"))
+        self.saver = Saver(self.exp.blob_file("", "saver") or self.exp.blob_dir + "/saver")
+        self.mesh = meshlib.make_mesh()
+        self.callbacks: List[Any] = []
+
+        self.model = None
+        self.tx = None
+        self.state: Optional[TrainState] = None
+        self.eidx = 0
+        self.global_steps = 0
+        self._train_step_fn = None
+        self._eval_fn = None
+        self.class_weights = None
+        self.stopped = False
+
+        params.to_yaml(self.exp.test_file("params.yaml"))
+
+    # ------------------------------------------------------------------ setup
+    def imodels(self, params):
+        raise NotImplementedError
+
+    def example_batch(self, L: int = 32, B: int = 2) -> Dict[str, np.ndarray]:
+        """Shape-only batch for init (dims from the dataset grammar)."""
+        from erc_tpu.data.synthetic import synthetic_erc
+
+        p = self.params
+        dims = p.modality_dims()
+        samples = synthetic_erc(
+            "custom", p.n_classes, "train", n_train=B, min_len=L, max_len=L,
+            text_dim=p.hidden_text, audio_dim=p.hidden_audio, visual_dim=p.hidden_visual,
+        )
+        for s in samples:
+            s["speakers"] = [
+                np.eye(max(p.n_speakers, 1), dtype=int)[i % max(p.n_speakers, 1)].tolist()
+                for i in range(len(s["label"]))
+            ]
+        return self.batcher()(samples)
+
+    def batcher(self, batch_size: Optional[int] = None) -> ERCBatcher:
+        p = self.params
+        pad_to = None
+        if batch_size is not None:
+            # pad the batch dim to a multiple of the data axis so every
+            # batch (incl. the last partial one) shards evenly; padded
+            # dialogues have attention_mask == 0 and drop out of loss/metrics
+            data_axis = self.mesh.devices.shape[0]
+            pad_to = -(-int(batch_size) // data_axis) * data_axis
+        return ERCBatcher(
+            modality=p.modality,
+            n_classes=p.n_classes,
+            n_speakers=p.n_speakers,
+            speaker_onehot=bool(p.get("speaker_onehot", False)),
+            bucket=p.get("length_bucket", 0),
+            max_len=p.get("max_seq_len", 128),
+            pad_batch_to=pad_to,
+        )
+
+    def initialize(self):
+        if self.state is not None:
+            return
+        self.imodels(self.params)
+        batch = self.example_batch()
+        # jit the init: one compiled program instead of hundreds of tiny
+        # dispatches (50s → ~5s on the TPU remote-compile path)
+        init_fn = jax.jit(partial(self.model.init, deterministic=True))
+        variables = init_fn(
+            {"params": self.rng.key("init"), "dropout": self.rng.key("init_drop")}, batch
+        )
+        params = variables["params"]
+        model_state = {k: v for k, v in variables.items() if k != "params"}
+        opt_state = self.tx.init(params)
+        self.state = TrainState(
+            params=params, opt_state=opt_state, model_state=model_state,
+            step=jnp.zeros((), jnp.int32),
+        )
+        self.state = meshlib.replicate(self.state, self.mesh)
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+        self.logger.info(
+            f"model {type(self.model).__name__}: {n_params/1e6:.3f}M params, "
+            f"mesh {dict(zip(self.mesh.axis_names, self.mesh.devices.shape))}"
+        )
+
+    # ------------------------------------------------------------- loss logic
+    def loss_and_metrics(self, variables, batch, rng, train: bool):
+        """Default: masked CE + accuracy (cogmen.py:179-195 semantics)."""
+        mutable = ["batch_stats"] if train else []
+        out = self.model.apply(
+            variables, batch, deterministic=not train,
+            rngs={"dropout": rng}, mutable=mutable,
+        )
+        if train:
+            logits, new_model_state = out
+        else:
+            logits, new_model_state = out, {}
+        if isinstance(logits, tuple):
+            logits = logits[0]
+        mask = batch["attention_mask"]
+        loss = masked_cross_entropy(logits, batch["label"], mask, self.class_weights)
+        mets = {"Lall": loss, "Acc": masked_accuracy(logits, batch["label"], mask)}
+        return loss, (mets, new_model_state)
+
+    def to_logits(self, variables, batch):
+        out = self.model.apply(variables, batch, deterministic=True)
+        if isinstance(out, tuple):
+            out = out[0]
+        return out
+
+    # --------------------------------------------------------------- jit fns
+    def _make_raw_train_step(self):
+        tx = self.tx
+
+        def train_step(state: TrainState, batch, key):
+            def lf(p):
+                variables = {"params": p, **state.model_state}
+                return self.loss_and_metrics(variables, batch, key, train=True)
+
+            (loss, (mets, new_model_state)), grads = jax.value_and_grad(
+                lf, has_aux=True
+            )(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                params=new_params,
+                opt_state=new_opt,
+                model_state=new_model_state if new_model_state else state.model_state,
+                step=state.step + 1,
+            )
+            mets = dict(mets)
+            mets["gnorm"] = optax.global_norm(grads)
+            return new_state, mets
+
+        return train_step
+
+    def _build_step_fns(self):
+        def eval_step(state: TrainState, batch):
+            variables = {"params": state.params, **state.model_state}
+            return self.to_logits(variables, batch)
+
+        self._train_step_fn = jax.jit(self._make_raw_train_step(), donate_argnums=0)
+        self._eval_fn = jax.jit(eval_step)
+
+    # ------------------------------------------------------------------ data
+    def make_loader(self, split: str) -> DialogueLoader:
+        p = self.params
+        root = p.get("data_root") or get_root(p.dataset)
+        samples = pick_datas(root, p.dataset, split=split)
+        bs = p.train.batch_size if split == "train" else p.test.batch_size
+        return DialogueLoader(
+            samples,
+            self.batcher(int(bs)),
+            batch_size=int(bs),
+            shuffle=(split == "train"),
+            seed=p.seed,
+            sort_by_length=bool(p.get("sort_by_length", True)),
+        )
+
+    # ----------------------------------------------------------------- hooks
+    def _fire(self, hook: str, *a, **kw):
+        for cb in self.callbacks:
+            fn = getattr(cb, hook, None)
+            if fn is not None:
+                fn(self, *a, **kw)
+        own = getattr(self, "on_" + hook, None)
+        if own is not None:
+            own(*a, **kw)
+
+    # ------------------------------------------------------------------ loop
+    def train(self):
+        p = self.params
+        self.initialize()
+        self._build_step_fns()
+        train_loader = self.make_loader("train")
+        self._fire("train_begin")
+        try:
+            for eidx in range(int(p.epoch)):
+                self.eidx = eidx
+                record = Record("train")
+                self._fire("train_epoch_begin", eidx)
+                t0 = time.time()
+                n_dialogues = 0
+                for bidx, batch in enumerate(train_loader):
+                    batch = meshlib.shard_batch(batch, self.mesh)
+                    key = self.rng.key("dropout", self.global_steps)
+                    self.state, mets = self._train_step_fn(self.state, batch, key)
+                    self.global_steps += 1
+                    n_dialogues += int(batch["attention_mask"].shape[0])
+                    m = Meter()
+                    m.update(mets)
+                    record.record(m)
+                    if bidx % 10 == 0:
+                        self.logger.inline(f"e{eidx} b{bidx} {record}")
+                dt = time.time() - t0
+                self.logger.newline()
+                agg = record.agg()
+                agg["dps"] = n_dialogues / max(dt, 1e-9)
+                self.logger.info(f"epoch {eidx}: {record} | {agg['dps']:.1f} dia/s")
+                self.metric_board.append(agg, step=eidx, stage="train")
+                self._fire("train_epoch_end", eidx, record)
+                if self.stopped:
+                    break
+                if p.get("eval_per_epoch", 1) and (eidx + 1) % int(p.get("eval_per_epoch", 1)) == 0:
+                    self.test()
+        except BaseException as e:
+            self.exp.record_end(ok=False, error=repr(e))
+            self._fire("exception", e)
+            raise
+        self._fire("train_end")
+        self.metric_board.flush()
+        self.database.flush()
+        self.exp.record_end(ok=True)
+
+    # ------------------------------------------------------------------ eval
+    def test_step_collect(self, batch, logits) -> None:
+        """Gather masked predictions on host (mmbase.py:186-194)."""
+        mask = np.asarray(batch["attention_mask"]) > 0
+        labels = np.asarray(batch["label"])
+        pred = np.asarray(logits).argmax(-1)
+        sel = mask & (labels >= 0)
+        self._true.extend(labels[sel].tolist())
+        self._pred.extend(pred[sel].tolist())
+
+    def test(self) -> Dict[str, Any]:
+        p = self.params
+        self.initialize()
+        if self._eval_fn is None:
+            self._build_step_fns()
+        loader = getattr(self, "_test_loader", None)
+        if loader is None:
+            loader = self._test_loader = self.make_loader("test")
+        self._true, self._pred = [], []
+        self._fire("test_begin")
+        record = Record("test")
+        for batch in loader:
+            sharded = meshlib.shard_batch(batch, self.mesh)
+            logits = self._eval_fn(self.state, sharded)
+            self.test_step_collect(batch, logits)
+        res = {}
+        if len(self._true) and p.get("confusion_matrix", True):
+            res = metrics_mod.classification_summary(self._true, self._pred, p.n_classes)
+            cm = res.pop("cm")
+            self.logger.raw(cm)
+            m = Meter()
+            with self.database as db:
+                m.update(db.update_metric_pair("pre", res["pre"], "cls_pre", res["cls_pre"]))
+                m.update(db.update_metric_pair("rec", res["rec"], "cls_rec", res["cls_rec"]))
+                m.update(db.update_metric_pair("f1", res["f1"], "cls_f1", res["cls_f1"]))
+                m.update(
+                    db.update_metrics(
+                        {k: res[k] for k in ("acc", "wa", "mif1", "maf1")}, compare="max"
+                    )
+                )
+            self.metric_board.append({**res, "cm": cm}, step=self.eidx, stage="test")
+            self.logger.info("Best Results", m)
+            self.pred_info.append([self._true, self._pred])
+            self.pred_info.flush()
+            if res["f1"] >= float(self.database.todict().get("f1", 0.0)):
+                self.save_model("best", is_best=True)
+        self._fire("test_end", res)
+        return res
+
+    # ----------------------------------------------------------- checkpoints
+    def _state_tree(self):
+        return self.state
+
+    def save_model(self, tag: str = "last", is_best: bool = False) -> str:
+        return self.saver.save_model(
+            tag, self._state_tree(),
+            meta={"eidx": self.eidx, "global_steps": self.global_steps,
+                  "params_hash": self.params.hash()},
+            is_best=is_best,
+        )
+
+    def save_checkpoint(self, is_best: bool = False) -> str:
+        return self.saver.save_checkpoint(
+            self.global_steps, self._state_tree(),
+            meta={"eidx": self.eidx}, is_best=is_best,
+        )
+
+    def load_checkpoint(self, path: Optional[str] = None):
+        self.initialize()
+        path = path or self.saver.latest_checkpoint()
+        assert path, "no checkpoint found"
+        self.state = self.saver.load_into(path, self.state)
+        self.state = meshlib.replicate(self.state, self.mesh)
+        return path
+
+
+def main(trainer_cls, params_cls, argv: Optional[list] = None):
+    """CLI driver (reference: mmbase.py:483-499)."""
+    params = params_cls()
+    params.finalize(argv)
+    trainer = trainer_cls(params)
+    if params.get("eval_first", False):
+        trainer.test()
+    trainer.train()
+    trainer.save_model()
+    return trainer

@@ -1,0 +1,129 @@
+"""MMIN family: batcher with Missing patterns, EMA state, one train step."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from erc_tpu.data.mmin import MMINBatcher, MISSING_TYPES, synthetic_mmin
+
+
+def test_mmin_batcher_shapes_and_missing():
+    samples = synthetic_mmin(4, "train", n_train=6)
+    b = MMINBatcher(max_audio_len=64, has_miss=True, pad_batch_to=8)(samples)
+    assert b["audio_feature"].shape == (8, 64, 130)
+    assert b["visual_feature"].shape == (8, 50, 342)
+    assert b["text_feature"].shape == (8, 22, 1024)
+    assert b["sample_mask"].sum() == 6
+    # missing + reverse partition the original features
+    for key in ("audio_feature", "visual_feature", "text_feature"):
+        assert f"{key}_reverse" in b
+        # elementwise: exactly one of (kept, reverse) can be nonzero
+        prod = b[key] * b[f"{key}_reverse"]
+        np.testing.assert_allclose(prod, 0.0)
+    # each row's missing_type is one of the 6 patterns
+    for row in b["missing_type"][:6]:
+        assert any((row == t).all() for t in MISSING_TYPES)
+
+
+def _one_step(trainer, tmp_path):
+    from erc_tpu.parallel import mesh as meshlib
+
+    trainer.initialize()
+    trainer._build_step_fns()
+    batch = trainer.example_batch(B=8)
+    sharded = meshlib.shard_batch(batch, trainer.mesh)
+    state, mets = trainer._train_step_fn(trainer.state, sharded, trainer.rng.key("d", 0))
+    trainer.state = state
+    return mets
+
+
+def test_mmin_base_step_and_ema(tmp_path):
+    import os
+
+    os.environ["ERC_TPU_EXPROOT"] = str(tmp_path)
+    from erc_tpu.models.mmin_base import MMINBaseParams, MMINBaseTrainer
+
+    p = MMINBaseParams()
+    p.dataset = "synthetic-mmin-4"
+    p.iparams()
+    tr = MMINBaseTrainer(p)
+    mets = _one_step(tr, tmp_path)
+    assert np.isfinite(float(np.asarray(mets["Lall"])))
+    # EMA shadow must differ from params but stay close
+    diffs = jax.tree_util.tree_map(
+        lambda e, q: float(np.abs(np.asarray(e) - np.asarray(q)).max()),
+        tr.state.ema_params, tr.state.params,
+    )
+    mx = max(jax.tree_util.tree_leaves(diffs))
+    assert 0 < mx < 1e-1
+
+
+def test_mmin_miss_step(tmp_path):
+    import os
+
+    os.environ["ERC_TPU_EXPROOT"] = str(tmp_path)
+    from erc_tpu.models.mmin_miss import MMINMissParams, MMINMissTrainer
+
+    p = MMINMissParams()
+    p.dataset = "synthetic-mmin-4"
+    p.iparams()
+    tr = MMINMissTrainer(p)
+    mets = _one_step(tr, tmp_path)
+    for k in ("Lall", "Lce", "Lmse", "Lcycle"):
+        assert np.isfinite(float(np.asarray(mets[k]))), k
+
+
+def test_dgcnv2_smoke(tmp_path):
+    import os
+
+    os.environ["ERC_TPU_EXPROOT"] = str(tmp_path)
+    from erc_tpu.models.dgcnv2 import DGCNV2Params, DGCNV2Trainer
+    from erc_tpu.parallel import mesh as meshlib
+
+    p = DGCNV2Params()
+    p.dataset = "synthetic-cogmen-6"
+    p.max_seq_len = 16
+    p.iparams()
+    tr = DGCNV2Trainer(p)
+    tr.initialize()
+    tr._build_step_fns()
+    batch = tr.example_batch(L=16, B=8)
+    sharded = meshlib.shard_batch(batch, tr.mesh)
+    state, mets = tr._train_step_fn(tr.state, sharded, tr.rng.key("d", 0))
+    assert np.isfinite(float(np.asarray(mets["Lall"])))
+    logits = tr._eval_fn(state, sharded)
+    assert logits.shape == (8, 16, 6)
+
+
+def test_dgcnv2_dialogrnn_smoke(tmp_path):
+    import os
+
+    os.environ["ERC_TPU_EXPROOT"] = str(tmp_path)
+    from erc_tpu.models.dgcnv2 import DGCNV2Params, DGCNV2Trainer
+    from erc_tpu.parallel import mesh as meshlib
+
+    p = DGCNV2Params()
+    p.dataset = "synthetic-cogmen-6"
+    p.max_seq_len = 16
+    p.base_model = "DialogRNN"
+    p.iparams()
+    tr = DGCNV2Trainer(p)
+    tr.initialize()
+    tr._build_step_fns()
+    batch = tr.example_batch(L=16, B=8)
+    sharded = meshlib.shard_batch(batch, tr.mesh)
+    state, mets = tr._train_step_fn(tr.state, sharded, tr.rng.key("d", 0))
+    assert np.isfinite(float(np.asarray(mets["Lall"])))
+
+
+def test_reverse_padded():
+    import jax.numpy as jnp
+    from erc_tpu.models.dgcnv2 import reverse_padded
+
+    x = np.arange(10, dtype=np.float32).reshape(1, 10, 1)
+    mask = np.zeros((1, 10), np.float32)
+    mask[0, :4] = 1
+    out = np.asarray(reverse_padded(jnp.asarray(x), jnp.asarray(mask)))
+    np.testing.assert_array_equal(out[0, :4, 0], [3, 2, 1, 0])
+    np.testing.assert_array_equal(out[0, 4:, 0], 0)
