@@ -37,7 +37,7 @@ def make_batches(batch_size, n_batches, max_len, seed=0):
     ]
 
 
-def bench_tpu(batch_size=32, max_len=96, steps=30):
+def bench_tpu(batch_size=32, max_len=96, steps=30, graph_impl="banded"):
     import jax
 
     from erc_tpu.models.cogmen import COGMENParams, COGMENTrainer
@@ -47,6 +47,7 @@ def bench_tpu(batch_size=32, max_len=96, steps=30):
     p.dataset = "synthetic-cogmen-6"
     p.train.batch_size = batch_size
     p.max_seq_len = max_len
+    p.graph_impl = graph_impl
     p.iparams()
     tr = COGMENTrainer(p)
     tr.initialize()
@@ -143,6 +144,7 @@ def main():
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--max-len", type=int, default=96)
     ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--graph-impl", default="banded", choices=["banded", "dense"])
     args = ap.parse_args()
 
     if args.measure_baseline:
@@ -151,7 +153,7 @@ def main():
                           "unit": "dialogues/s"}))
         return
 
-    dps = bench_tpu(args.batch_size, args.max_len, args.steps)
+    dps = bench_tpu(args.batch_size, args.max_len, args.steps, args.graph_impl)
     print(
         json.dumps(
             {

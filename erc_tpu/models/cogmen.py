@@ -28,6 +28,7 @@ from erc_tpu.models.base import MMBaseParams
 from erc_tpu.ops import graphs
 from erc_tpu.ops.attention import TransformerEncoder
 from erc_tpu.ops.gnn import DenseRGCN, DenseTransformerConv
+from erc_tpu.ops.gnn_banded import BandedRGCN, BandedTransformerConv
 from erc_tpu.ops.norm import MaskedBatchNorm
 from erc_tpu.train import optim as optim_factory
 from erc_tpu.train.trainer import Trainer, main as _main
@@ -48,6 +49,7 @@ class COGMENParams(MMBaseParams):
         self.wf = 5
         self.hidden_size = 100
         self.drop_rate = 0.5
+        self.graph_impl = self.choice("auto", "dense", "banded")
 
 
 ParamsType = COGMENParams
@@ -62,17 +64,41 @@ def pick_num_heads(input_size: int, num_heads: int) -> int:
 
 
 class GNN(nn.Module):
-    """RGCNConv → TransformerConv → BN → LeakyReLU (cogmen.py:61-74)."""
+    """RGCNConv → TransformerConv → BN → LeakyReLU (cogmen.py:61-74).
+
+    graph_impl='banded' runs the window-exact Pallas band kernels
+    (ops.gnn_banded, numerically identical — see test_gnn_banded);
+    'dense' is the [B, L, L] masked formulation.
+    """
 
     h1_dim: int
     h2_dim: int
     n_speakers: int = 2
+    wp: int = 5
+    wf: int = 5
+    graph_impl: str = "banded"
 
     @nn.compact
-    def __call__(self, x, adj, rel, mask, train: bool = False):
+    def __call__(self, x, speakers, lengths, mask, train: bool = False):
         num_relations = 2 * self.n_speakers**2
-        x = DenseRGCN(self.h1_dim, num_relations, aggr="mean", name="conv1")(x, adj, rel)
-        x = DenseTransformerConv(self.h2_dim, name="conv2")(x, adj)
+        # 'auto': dense wins while R·L² matmuls stay cheap (MXU); the banded
+        # Pallas path wins when relations (MELD S=9 → R=162) or length blow
+        # up the dense relation scan (measured on v5e: bench.py --graph-impl)
+        impl = self.graph_impl
+        if impl == "auto":
+            impl = "banded" if (num_relations > 32 or x.shape[1] > 128) else "dense"
+        if impl == "banded":
+            x = BandedRGCN(
+                self.h1_dim, num_relations, self.n_speakers, self.wp, self.wf,
+                aggr="mean", name="conv1",
+            )(x, speakers, mask)
+            x = BandedTransformerConv(self.h2_dim, self.wp, self.wf, name="conv2")(x, mask)
+        else:
+            L = x.shape[1]
+            adj = graphs.window_adjacency(lengths, L, self.wp, self.wf)
+            rel = graphs.relation_ids(speakers, self.n_speakers)
+            x = DenseRGCN(self.h1_dim, num_relations, aggr="mean", name="conv1")(x, adj, rel)
+            x = DenseTransformerConv(self.h2_dim, name="conv2")(x, adj)
         x = MaskedBatchNorm(self.h2_dim, name="bn")(x, mask, use_running_average=not train)
         return nn.leaky_relu(x, negative_slope=0.01)
 
@@ -86,6 +112,7 @@ class COGMENModule(nn.Module):
     wp: int = 5
     wf: int = 5
     drop_rate: float = 0.5
+    graph_impl: str = "banded"
 
     @nn.compact
     def __call__(self, batch, deterministic: bool = True):
@@ -101,11 +128,10 @@ class COGMENModule(nn.Module):
         )(x, key_padding_mask=mask, deterministic=deterministic)
         h = nn.Dense(self.hidden_size, name="transformer_out")(h)
 
-        adj = graphs.window_adjacency(lengths, L, self.wp, self.wf)
-        rel = graphs.relation_ids(speakers, self.n_speakers)
-        g = GNN(self.hidden_size, self.hidden_size, self.n_speakers, name="gcn")(
-            h, adj, rel, mask, train=not deterministic
-        )
+        g = GNN(
+            self.hidden_size, self.hidden_size, self.n_speakers,
+            wp=self.wp, wf=self.wf, graph_impl=self.graph_impl, name="gcn",
+        )(h, speakers, lengths, mask, train=not deterministic)
 
         out = nn.Dense(100, name="cls_0")(g)
         out = nn.relu(out)
@@ -126,6 +152,7 @@ class COGMENTrainer(Trainer):
             wp=params.wp,
             wf=params.wf,
             drop_rate=params.drop_rate,
+            graph_impl=params.graph_impl,
         )
         self.tx = optim_factory.build_optim(params.optim)
 

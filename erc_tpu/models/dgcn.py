@@ -46,6 +46,7 @@ class DGCNParams(MMBaseParams):
         self.wf = 10
         self.hidden_size = 200
         self.drop_rate = 0.4
+        self.graph_impl = self.choice("auto", "dense", "banded")
 
 
 ParamsType = DGCNParams
@@ -76,6 +77,46 @@ class EdgeAtt(nn.Module):
         return masked_softmax(scores, win, axis=-1, mode="where")
 
 
+class BandedEdgeAtt(nn.Module):
+    """EdgeAtt in band space via the Pallas banded-dot kernel.
+
+    Scores live in the *source* band (α over each node's own window); the
+    returned weights are remapped to the *target* band [B, L, K] expected
+    by BandedRGCN (tap k of target v = edge (v+off_k) → v).
+    """
+
+    wp: int
+    wf: int
+
+    @nn.compact
+    def __call__(self, x, mask):
+        from erc_tpu.ops.attention import masked_softmax as msm
+        from erc_tpu.ops.gnn_banded import _tap_valid
+        from erc_tpu.ops.pallas.banded import banded_dot
+
+        D = x.shape[-1]
+        w = self.param(
+            "weight", nn.initializers.normal(stddev=2.0 / (2 * D)), (D, D)
+        )
+        # source-band offsets: v = u + o', o' ∈ [-wp, wf]
+        src_offsets = tuple(range(-self.wp, self.wf + 1))
+        scores = banded_dot(x, x @ w.T, src_offsets)  # [B, L(u), Ks]
+        tap = _tap_valid(mask, src_offsets)
+        alpha_src = msm(scores, tap, axis=-1, mode="where")
+        # remap to target band: tgt offsets o ∈ [-wf, wp];
+        # enorm_tgt[b, v, k] = alpha_src[b, v+o_k, index_of(-o_k)]
+        tgt_offsets = tuple(range(-self.wf, self.wp + 1))
+        cols = []
+        L = x.shape[1]
+        vv = jnp.arange(L)
+        for o in tgt_offsets:
+            j = src_offsets.index(-o)
+            col = jnp.roll(alpha_src[:, :, j], -o, axis=1)
+            valid = ((vv + o) >= 0) & ((vv + o) < L)
+            cols.append(col * valid[None, :])
+        return jnp.stack(cols, -1)  # [B, L(v), Kt]
+
+
 class DGCNModule(nn.Module):
     input_size: int
     hidden_size: int = 200
@@ -84,6 +125,7 @@ class DGCNModule(nn.Module):
     wf: int = 10
     n_classes: int = 4
     drop_rate: float = 0.4
+    graph_impl: str = "banded"
 
     @nn.compact
     def __call__(self, batch, deterministic: bool = True):
@@ -99,14 +141,34 @@ class DGCNModule(nn.Module):
             bidirectional=True, dropout=self.drop_rate, name="rnn",
         )(x, mask, deterministic=deterministic)
 
-        edge_norm = EdgeAtt(self.wp, self.wf, name="edge_att")(feats, lengths)
-        adj = graphs.window_adjacency(lengths, L, self.wp, self.wf)
-        rel = graphs.relation_ids(speakers, self.n_speakers)
+        impl = self.graph_impl
+        if impl == "auto":
+            impl = "banded" if (2 * self.n_speakers**2 > 32 or L > 128) else "dense"
+        if impl == "banded":
+            from erc_tpu.ops.gnn_banded import BandedRGCN, banded_relational_messages
+            from erc_tpu.ops.pallas.banded import band_offsets, banded_gather_sum
+            from erc_tpu.ops.gnn_banded import _tap_valid
 
-        g = DenseRGCN(
-            h1_dim, 2 * self.n_speakers**2, num_bases=30, aggr="add", name="conv1"
-        )(feats, adj, rel, edge_norm=edge_norm)
-        g = DenseGraphConv(h2_dim, name="conv2")(g, adj)
+            enorm_band = BandedEdgeAtt(self.wp, self.wf, name="edge_att")(feats, mask)
+            g = BandedRGCN(
+                h1_dim, 2 * self.n_speakers**2, self.n_speakers, self.wp, self.wf,
+                num_bases=30, aggr="add", name="conv1",
+            )(feats, speakers, mask, edge_norm_band=enorm_band)
+            # GraphConv: sum over incoming band taps, then lin_rel/lin_root
+            offs = band_offsets(self.wp, self.wf)
+            tap = _tap_valid(mask, offs)
+            agg = banded_gather_sum(tap, g, offs)
+            g = nn.Dense(h2_dim, name="conv2_lin_rel")(agg) + nn.Dense(
+                h2_dim, name="conv2_lin_root"
+            )(g)
+        else:
+            edge_norm = EdgeAtt(self.wp, self.wf, name="edge_att")(feats, lengths)
+            adj = graphs.window_adjacency(lengths, L, self.wp, self.wf)
+            rel = graphs.relation_ids(speakers, self.n_speakers)
+            g = DenseRGCN(
+                h1_dim, 2 * self.n_speakers**2, num_bases=30, aggr="add", name="conv1"
+            )(feats, adj, rel, edge_norm=edge_norm)
+            g = DenseGraphConv(h2_dim, name="conv2")(g, adj)
 
         h = jnp.concatenate([feats, g], -1)
         h = nn.Dense(hc_dim, name="clf_lin1")(h)
@@ -126,6 +188,7 @@ class DGCNTrainer(Trainer):
             wf=params.wf,
             n_classes=params.n_classes,
             drop_rate=params.drop_rate,
+            graph_impl=params.graph_impl,
         )
         self.tx = optim_factory.build_optim(params.optim)
         if params.get("loss_weights", True) and params.n_classes == 6:

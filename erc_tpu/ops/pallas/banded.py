@@ -138,3 +138,83 @@ def band_offsets(wp: int, wf: int) -> Tuple[int, ...]:
     (edge u→v exists iff v ∈ [u-wp, u+wf] ⟺ u-v ∈ [-wf, wp].)
     """
     return tuple(range(-wf, wp + 1))
+
+
+# ---------------------------------------------------------------- banded dot
+
+
+def banded_dot_reference(a, b, offsets):
+    """out[b, v, k] = a[b, v, :] · b[b, v + off_k, :] (0 out of range)."""
+    B, L, D = a.shape
+    outs = []
+    v = jnp.arange(L)
+    for off in offsets:
+        rolled = jnp.roll(b, -off, axis=1)
+        valid = ((v + off) >= 0) & ((v + off) < L)
+        outs.append((a * rolled).sum(-1) * valid[None, :])
+    return jnp.stack(outs, -1)
+
+
+def _dot_kernel(a_ref, b_ref, out_ref, *, offsets, pad_lo, TV):
+    i = pl.program_id(1)
+    v0 = i * TV
+    av = a_ref[:, :].astype(jnp.float32)
+    cols = []
+    for k, off in enumerate(offsets):
+        slab = b_ref[pl.ds(v0 + (off + pad_lo), TV), :].astype(jnp.float32)
+        cols.append(jnp.sum(av * slab, axis=-1, keepdims=True))
+    out_ref[:, :] = jnp.concatenate(cols, -1).astype(out_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def banded_dot(a, b, offsets: Tuple[int, ...]):
+    """Banded pairwise dot products: out[b, v, k] = a_v · b_{v+off_k}.
+
+    The windowed-attention score op: K·L·D MACs instead of the dense
+    [L, L] @ [L, D] product.
+    """
+    offsets = tuple(int(o) for o in offsets)
+    B, L, D = a.shape
+    K = len(offsets)
+    minoff, maxoff = min(offsets), max(offsets)
+    TV = min(128, L)
+    pad_lo, pad_hi = max(0, -minoff), max(0, maxoff + TV)
+    bp = jnp.pad(b, ((0, 0), (pad_lo, pad_hi), (0, 0)))
+    Lp = bp.shape[1]
+    kernel = functools.partial(_dot_kernel, offsets=offsets, pad_lo=pad_lo, TV=TV)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, pl.cdiv(L, TV)),
+        in_specs=[
+            pl.BlockSpec((None, TV, D), lambda bb, i: (bb, i, 0)),
+            pl.BlockSpec((None, Lp, D), lambda bb, i: (bb, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, TV, K), lambda bb, i: (bb, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, L, K), a.dtype),
+        interpret=not _on_tpu(),
+    )(a, bp)
+
+
+def _bd_fwd(a, b, offsets):
+    return banded_dot(a, b, offsets), (a, b)
+
+
+def _bd_bwd(offsets, res, g):
+    a, b = res
+    L = a.shape[1]
+    v = jnp.arange(L)
+    da = jnp.zeros_like(a)
+    db = jnp.zeros_like(b)
+    for k, off in enumerate(offsets):
+        gk = g[:, :, k : k + 1]  # [B, L, 1]
+        rolled_b = jnp.roll(b, -off, axis=1)
+        valid = (((v + off) >= 0) & ((v + off) < L))[None, :, None]
+        da = da + gk * rolled_b * valid
+        contrib = gk * a * valid
+        db = db + jnp.roll(contrib, off, axis=1) * (
+            (((v - off) >= 0) & ((v - off) < L))[None, :, None]
+        )
+    return da, db
+
+
+banded_dot.defvjp(_bd_fwd, _bd_bwd)

@@ -1,0 +1,207 @@
+"""Hook-based callback library (reference: lumo/trainer/callbacks.py, 1039
+LoC of reflective wrappers → explicit hook objects).
+
+Hook protocol — any subset of:
+    train_begin(tr) / train_end(tr)
+    train_epoch_begin(tr, eidx) / train_epoch_end(tr, eidx, record)
+    train_step_end(tr, bidx, mets)
+    test_begin(tr) / test_end(tr, res)
+    exception(tr, e)
+
+Reference mapping:
+    EpochCheckpoint      → callbacks.py:517   (save every N epochs)
+    GlobalStepCheckpoint → callbacks.py:536   (save every N steps)
+    KeyErrorSave         → callbacks.py:548   (checkpoint on Ctrl-C)
+    StopByCode           → callbacks.py:745   (<test>/.stop file poll)
+    AutoLoadModel        → callbacks.py:588   (pretrain_path auto-load)
+    TensorBoardCallback  → callbacks.py:719
+    WandbCallback        → callbacks.py:684
+    RemoteCallback       → callbacks.py:772   (HTTP POST metrics)
+    NaNGuard             → new (SURVEY §5.2: sanitizer story)
+    AutoResume           → new (SURVEY §5.3: the reference has no elastic
+                           recovery; resume-from-latest is the superset)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+
+class Callback:
+    priority = 100
+
+    def hook(self, trainer):
+        trainer.callbacks.append(self)
+        trainer.callbacks.sort(key=lambda c: getattr(c, "priority", 100))
+        return self
+
+
+class EpochCheckpoint(Callback):
+    def __init__(self, per_epoch: int = 1):
+        self.per_epoch = per_epoch
+
+    def train_epoch_end(self, tr, eidx, record):
+        if (eidx + 1) % self.per_epoch == 0:
+            tr.save_checkpoint()
+
+
+class GlobalStepCheckpoint(Callback):
+    def __init__(self, per_step: int = 1000):
+        self.per_step = per_step
+
+    def train_step_end(self, tr, bidx, mets):
+        if tr.global_steps > 0 and tr.global_steps % self.per_step == 0:
+            tr.save_checkpoint()
+
+
+class KeyErrorSave(Callback):
+    """Checkpoint on KeyboardInterrupt (callbacks.py:548-569)."""
+
+    def exception(self, tr, e):
+        if isinstance(e, KeyboardInterrupt):
+            path = tr.save_checkpoint()
+            tr.logger.info(f"interrupted — checkpoint saved to {path}")
+
+
+class StopByCode(Callback):
+    """Graceful stop when `<test_dir>/.stop` appears (callbacks.py:745-755)."""
+
+    def __init__(self, check_every: int = 100):
+        self.check_every = check_every
+
+    def train_step_end(self, tr, bidx, mets):
+        if tr.global_steps % self.check_every == 0:
+            if os.path.exists(os.path.join(tr.exp.test_dir, ".stop")):
+                tr.logger.info(".stop file found — stopping")
+                tr.stopped = True
+
+
+class AutoLoadModel(Callback):
+    """Load pretrain_path at train start (callbacks.py:588-602)."""
+
+    def train_begin(self, tr):
+        path = tr.params.get("pretrain_path")
+        if path and tr.params.get("pretrain", True):
+            tr.load_checkpoint(path)
+            tr.logger.info(f"loaded pretrained state from {path}")
+
+
+class AutoResume(Callback):
+    """Resume from the latest checkpoint if one exists (preemption-safe)."""
+
+    def train_begin(self, tr):
+        latest = tr.saver.latest_checkpoint()
+        if latest:
+            tr.load_checkpoint(latest)
+            meta_path = latest + ".json"
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    tr.eidx = json.load(f).get("eidx", tr.eidx)
+            tr.logger.info(f"auto-resumed from {latest}")
+
+
+class NaNGuard(Callback):
+    """Abort (with checkpoint) on non-finite loss — the jit-era sanitizer."""
+
+    def __init__(self, check_every: int = 10):
+        self.check_every = check_every
+
+    def train_step_end(self, tr, bidx, mets):
+        if tr.global_steps % self.check_every != 0:
+            return
+        v = mets.get("Lall")
+        if v is not None and not np.isfinite(float(np.asarray(v))):
+            tr.save_checkpoint()
+            raise FloatingPointError(
+                f"non-finite loss at step {tr.global_steps}: {v}"
+            )
+
+
+class TensorBoardCallback(Callback):
+    def __init__(self, log_dir: Optional[str] = None):
+        self.log_dir = log_dir
+        self.writer = None
+
+    def train_begin(self, tr):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self.writer = SummaryWriter(self.log_dir or tr.exp.blob_file("", "board"))
+        except ImportError:
+            tr.logger.warn("tensorboard unavailable — TensorBoardCallback disabled")
+
+    def train_epoch_end(self, tr, eidx, record):
+        if self.writer:
+            for k, v in record.agg().items():
+                if isinstance(v, (int, float)):
+                    self.writer.add_scalar(f"train/{k}", v, eidx)
+
+    def test_end(self, tr, res):
+        if self.writer:
+            for k, v in res.items():
+                if isinstance(v, (int, float)):
+                    self.writer.add_scalar(f"test/{k}", v, tr.eidx)
+
+    def train_end(self, tr):
+        if self.writer:
+            self.writer.flush()
+
+
+class WandbCallback(Callback):
+    def __init__(self, project: str = "erc_tpu"):
+        self.project = project
+        self.run = None
+
+    def train_begin(self, tr):
+        try:
+            import wandb
+
+            self.run = wandb.init(
+                project=self.project, name=tr.exp.test_name, config=tr.params.to_dict()
+            )
+        except Exception:
+            tr.logger.warn("wandb unavailable — WandbCallback disabled")
+
+    def train_epoch_end(self, tr, eidx, record):
+        if self.run:
+            self.run.log({f"train/{k}": v for k, v in record.agg().items()}, step=eidx)
+
+    def test_end(self, tr, res):
+        if self.run:
+            self.run.log(
+                {f"test/{k}": v for k, v in res.items() if isinstance(v, (int, float))}
+            )
+
+
+class RemoteCallback(Callback):
+    """POST per-epoch metrics to an HTTP endpoint (callbacks.py:772-864)."""
+
+    def __init__(self, url: str, timeout: float = 2.0):
+        self.url = url
+        self.timeout = timeout
+
+    def _post(self, payload):
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.url,
+            data=json.dumps(payload, default=str).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=self.timeout)
+        except Exception:
+            pass  # observability must never kill training
+
+    def train_epoch_end(self, tr, eidx, record):
+        self._post({"stage": "train", "epoch": eidx, **record.agg()})
+
+    def test_end(self, tr, res):
+        self._post(
+            {"stage": "test", "epoch": tr.eidx,
+             **{k: v for k, v in res.items() if isinstance(v, (int, float))}}
+        )

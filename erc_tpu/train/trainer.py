@@ -239,6 +239,37 @@ class Trainer:
         )
 
     # ----------------------------------------------------------------- hooks
+    def icallbacks(self, params):
+        """Install default callbacks (reference: icallbacks mmbase.py:134-142).
+
+        Config-driven extras:
+          --checkpoint_per_epoch=N  rotating epoch checkpoints
+          --resume                  auto-resume from latest checkpoint
+          --nan_guard               abort+checkpoint on non-finite loss
+          --tensorboard / --wandb   metric exporters
+          --remote_url=http://...   HTTP metric POST
+        """
+        from erc_tpu.train import callbacks as cbs
+
+        cbs.StopByCode().hook(self)
+        cbs.KeyErrorSave().hook(self)
+        if params.get("pretrain_path"):
+            cbs.AutoLoadModel().hook(self)
+        if params.get("checkpoint_per_epoch"):
+            cbs.EpochCheckpoint(int(params.get("checkpoint_per_epoch"))).hook(self)
+        if params.get("checkpoint_per_step"):
+            cbs.GlobalStepCheckpoint(int(params.get("checkpoint_per_step"))).hook(self)
+        if params.get("resume"):
+            cbs.AutoResume().hook(self)
+        if params.get("nan_guard"):
+            cbs.NaNGuard().hook(self)
+        if params.get("tensorboard"):
+            cbs.TensorBoardCallback().hook(self)
+        if params.get("wandb"):
+            cbs.WandbCallback().hook(self)
+        if params.get("remote_url"):
+            cbs.RemoteCallback(params.get("remote_url")).hook(self)
+
     def _fire(self, hook: str, *a, **kw):
         for cb in self.callbacks:
             fn = getattr(cb, hook, None)
@@ -253,6 +284,7 @@ class Trainer:
         p = self.params
         self.initialize()
         self._build_step_fns()
+        self.icallbacks(p)
         train_loader = self.make_loader("train")
         self._fire("train_begin")
         try:
@@ -271,6 +303,9 @@ class Trainer:
                     m = Meter()
                     m.update(mets)
                     record.record(m)
+                    self._fire("train_step_end", bidx, mets)
+                    if self.stopped:
+                        break
                     if bidx % 10 == 0:
                         self.logger.inline(f"e{eidx} b{bidx} {record}")
                 dt = time.time() - t0

@@ -1,0 +1,89 @@
+"""Callback subsystem: stop-file, checkpoint cadence, auto-resume, NaN guard."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def _trainer(tmp_path, **over):
+    os.environ["ERC_TPU_EXPROOT"] = str(tmp_path)
+    from erc_tpu.models.cogmen import COGMENParams, COGMENTrainer
+
+    p = COGMENParams()
+    p.dataset = "synthetic-cogmen-6"
+    p.epoch = 1
+    p.max_seq_len = 16
+    p.train.batch_size = 8
+    p.test.batch_size = 8
+    p.eval_per_epoch = 0
+    for k, v in over.items():
+        p[k] = v
+    p.iparams()
+    return COGMENTrainer(p)
+
+
+def test_stop_by_code(tmp_path):
+    tr = _trainer(tmp_path)
+    from erc_tpu.train.callbacks import StopByCode
+
+    tr.initialize()
+    cb = StopByCode(check_every=1).hook(tr)
+    open(os.path.join(tr.exp.test_dir, ".stop"), "w").close()
+    tr.global_steps = 1
+    cb.train_step_end(tr, 0, {})
+    assert tr.stopped
+
+
+def test_epoch_checkpoint_and_auto_resume(tmp_path):
+    tr = _trainer(tmp_path, checkpoint_per_epoch=1)
+    tr.train()
+    cps = tr.saver.list_checkpoints()
+    assert len(cps) >= 1
+    # same experiment dir → AutoResume picks up the checkpoint
+    tr2 = _trainer(tmp_path, resume=True)
+    tr2.exp = tr.exp
+    tr2.saver = tr.saver
+    tr2.initialize()
+    from erc_tpu.train.callbacks import AutoResume
+
+    AutoResume().train_begin(tr2)
+    import jax
+
+    a = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, tr.state.params)
+    )
+    b = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, tr2.state.params)
+    )
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_nan_guard(tmp_path):
+    tr = _trainer(tmp_path)
+    tr.initialize()
+    from erc_tpu.train.callbacks import NaNGuard
+
+    cb = NaNGuard(check_every=1).hook(tr)
+    tr.global_steps = 1
+    cb.train_step_end(tr, 0, {"Lall": np.float32(1.0)})  # fine
+    with pytest.raises(FloatingPointError):
+        cb.train_step_end(tr, 0, {"Lall": np.float32("nan")})
+    # checkpoint was written before raising
+    assert tr.saver.latest_checkpoint() is not None
+
+
+def test_step_timer():
+    import time
+
+    from erc_tpu.train.profiler import StepTimer
+
+    t = StepTimer(skip_first=1)
+    for _ in range(4):
+        with t:
+            time.sleep(0.01)
+    s = t.summary()
+    assert s["steps"] == 3
+    assert 0.005 < s["mean_s"] < 0.1
