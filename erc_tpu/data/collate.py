@@ -47,6 +47,8 @@ class ERCBatcher:
         self.pad_batch_to = pad_batch_to
 
     def __call__(self, samples: List[dict]) -> Dict[str, np.ndarray]:
+        from erc_tpu import native
+
         B = len(samples)
         Bp = self.pad_batch_to or B
         lengths = np.array(
@@ -54,37 +56,40 @@ class ERCBatcher:
         )
         L = bucket_length(int(lengths.max()), self.bucket, self.max_len)
         lengths = np.minimum(lengths, L)
+        lens_p = np.zeros(Bp, np.int32)
+        lens_p[:B] = lengths
 
-        mask = np.zeros((Bp, L), np.float32)
-        spk = np.zeros((Bp, L), np.int32)
-        label = np.full((Bp, L), -1, np.int32)
+        # native multi-threaded packing (erc_tpu/native/collate.cpp); every
+        # call falls back to numpy if the .so is unavailable
+        mask = native.fill_mask(lens_p, L)
+        label = native.pack_labels(
+            [np.asarray(s["label"]) for s in samples] + [None] * (Bp - B), lens_p, L, -1
+        )
+
+        spk_rows = []
+        for s in samples:
+            spk_arr = np.asarray(s["speakers"])
+            if spk_arr.ndim == 2 and spk_arr.shape[0] >= 1 and spk_arr.shape[0] < len(s["label"]):
+                spk_rows.append(np.zeros(len(s["label"]), np.int32))  # MOSEI [[0]]
+            elif spk_arr.ndim == 2:
+                spk_rows.append(spk_arr.argmax(-1).astype(np.int32))
+            else:
+                spk_rows.append(spk_arr.astype(np.int32))
+        spk = native.pack_labels(spk_rows + [None] * (Bp - B), lens_p, L, 0)
 
         mod_arrays = {}
-        dims = {}
         key_of = {"a": "audio", "t": "text", "v": "visual"}
         for m in self.modality:
-            dims[m] = np.asarray(samples[0][key_of[m]]).shape[-1]
-            mod_arrays[m] = np.zeros((Bp, L, dims[m]), np.float32)
+            D = np.asarray(samples[0][key_of[m]]).shape[-1]
+            rows = [np.asarray(s[key_of[m]], np.float32) for s in samples]
+            mod_arrays[m] = native.pack_rows(rows + [None] * (Bp - B), lens_p, L, D)
 
         has_emo = "emo_label" in samples[0]
         if has_emo:
             emo = np.zeros((Bp, L, 7), np.int32)
             senti2 = np.full((Bp, L), -1, np.int32)
-
-        for i, s in enumerate(samples):
-            ln = lengths[i]
-            mask[i, :ln] = 1
-            label[i, :ln] = np.asarray(s["label"])[:ln]
-            spk_arr = np.asarray(s["speakers"])
-            if spk_arr.ndim == 2 and spk_arr.shape[0] >= ln:
-                spk[i, :ln] = spk_arr[:ln].argmax(-1)
-            elif spk_arr.ndim == 2:  # single-speaker datasets (MOSEI [[0]])
-                spk[i, :ln] = 0
-            else:
-                spk[i, :ln] = spk_arr[:ln]
-            for m in self.modality:
-                mod_arrays[m][i, :ln] = np.asarray(s[key_of[m]], np.float32)[:ln]
-            if has_emo:
+            for i, s in enumerate(samples):
+                ln = lengths[i]
                 emo[i, :ln] = np.asarray(s["emo_label"])[:ln]
                 senti2[i, :ln] = np.asarray(s["senti2_label"])[:ln]
 

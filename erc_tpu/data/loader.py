@@ -74,3 +74,41 @@ class DialogueLoader:
             batch = self.batcher([self.samples[i] for i in idx])
             yield batch
         self.epoch += 1
+
+
+class PrefetchLoader:
+    """Background-thread prefetch wrapper: collation of batch N+1 overlaps
+    device execution of batch N (the torch-DataLoader-workers equivalent)."""
+
+    def __init__(self, loader, depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+
+    def __len__(self):
+        return len(self.loader)
+
+    def set_epoch(self, epoch: int):
+        self.loader.set_epoch(epoch)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        _END = object()
+
+        def producer():
+            try:
+                for b in self.loader:
+                    q.put(b)
+            finally:
+                q.put(_END)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+        t.join()

@@ -229,7 +229,7 @@ class Trainer:
         root = p.get("data_root") or get_root(p.dataset)
         samples = pick_datas(root, p.dataset, split=split)
         bs = p.train.batch_size if split == "train" else p.test.batch_size
-        return DialogueLoader(
+        loader = DialogueLoader(
             samples,
             self.batcher(int(bs)),
             batch_size=int(bs),
@@ -237,6 +237,11 @@ class Trainer:
             seed=p.seed,
             sort_by_length=bool(p.get("sort_by_length", True)),
         )
+        if p.get("prefetch", True):
+            from erc_tpu.data.loader import PrefetchLoader
+
+            return PrefetchLoader(loader)
+        return loader
 
     # ----------------------------------------------------------------- hooks
     def icallbacks(self, params):
