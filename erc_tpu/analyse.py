@@ -1,0 +1,95 @@
+"""Cross-run metric collection (reference: lumo/analyse/collect.py + the
+``lumo sum`` CLI, cli/cli.py:41-89).
+
+Walks the experiment root, loads each test's metrics.json / board.jsonl,
+and produces comparable rows; ``python -m erc_tpu.cli`` exposes it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+from erc_tpu.core.experiment import exproot
+from erc_tpu.core.metrics_db import MetricBoard
+
+
+def list_experiments(root: Optional[str] = None) -> List[str]:
+    d = os.path.join(root or exproot(), "experiment")
+    if not os.path.isdir(d):
+        return []
+    return sorted(os.listdir(d))
+
+
+def list_tests(exp_name: str, root: Optional[str] = None) -> List[str]:
+    d = os.path.join(root or exproot(), "experiment", exp_name)
+    if not os.path.isdir(d):
+        return []
+    return sorted(os.listdir(d))
+
+
+def collect_metrics(exp_name: Optional[str] = None, root: Optional[str] = None) -> List[Dict]:
+    """One row per test: params hash/dataset + best metrics."""
+    rows = []
+    exps = [exp_name] if exp_name else list_experiments(root)
+    for exp in exps:
+        for test in list_tests(exp, root):
+            tdir = os.path.join(root or exproot(), "experiment", exp, test)
+            row: Dict = {"exp": exp, "test": test}
+            mpath = os.path.join(tdir, "metrics.json")
+            if os.path.exists(mpath):
+                with open(mpath) as f:
+                    row.update(
+                        {k: v for k, v in json.load(f).items() if isinstance(v, (int, float))}
+                    )
+            ppath = os.path.join(tdir, "params.yaml")
+            if os.path.exists(ppath):
+                try:
+                    import yaml
+
+                    with open(ppath) as f:
+                        params = yaml.safe_load(f)
+                    for k in ("dataset", "modality", "seed"):
+                        if isinstance(params, dict) and k in params:
+                            row[k] = params[k]
+                except Exception:
+                    pass
+            rows.append(row)
+    return rows
+
+
+def summarize_test(exp_name: str, test_name: str, root: Optional[str] = None) -> Dict:
+    tdir = os.path.join(root or exproot(), "experiment", exp_name, test_name)
+    out: Dict = {"exp": exp_name, "test": test_name}
+    for key in ("initial", "final"):
+        p = os.path.join(tdir, f"{key}.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                out[key] = json.load(f)
+    mpath = os.path.join(tdir, "metrics.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            out["best_metrics"] = json.load(f)
+    out["board"] = MetricBoard.load(os.path.join(tdir, "board.jsonl"))
+    return out
+
+
+def format_table(rows: List[Dict], columns: Optional[List[str]] = None) -> str:
+    if not rows:
+        return "(no runs found)"
+    if columns is None:
+        columns = ["exp", "test", "dataset", "modality", "seed", "f1", "acc", "wa", "maf1"]
+        columns = [c for c in columns if any(c in r for r in rows)]
+    widths = {c: max(len(c), *(len(str(r.get(c, ""))[:24]) for r in rows)) for c in columns}
+    lines = ["  ".join(c.ljust(widths[c]) for c in columns)]
+    for r in rows:
+        lines.append(
+            "  ".join(
+                (f"{r[c]:.4f}" if isinstance(r.get(c), float) else str(r.get(c, "")))[
+                    : max(widths[c], 8)
+                ].ljust(widths[c])
+                for c in columns
+            )
+        )
+    return "\n".join(lines)

@@ -1,0 +1,207 @@
+"""Video feature extraction on TPU: TSN-R50 as a flax backbone.
+
+Replaces the reference's 56k-LoC vendored mmaction2 (only the TSN-R50 /
+X3D inference paths are exercised — reference README.md:100-125,
+preprocess/video/extractor.py:170-227) with:
+
+- a flax ResNet-50 whose parameters port 1:1 from the released
+  torch/mmaction checkpoints (``port_torch_resnet``: OIHW→HWIO convs,
+  BN stats → batch_stats)
+- TSN segment sampling + average consensus + feature extraction
+  (recognizer2d with feature_extraction=True ≡ pooled backbone features)
+- the IEMOCAP speaker half-frame crop (extractor.py:196-208): rows
+  120:365, left half for M / right half for F
+
+Host-side decode (decord in the reference) is gated: any [T, H, W, 3]
+uint8 frame array works; cv2 is used when available.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+IMAGENET_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
+IMAGENET_STD = np.array([58.395, 57.12, 57.375], np.float32)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9, epsilon=1e-5)
+        residual = x
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        out = bn(name="bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(
+            self.planes, (3, 3), strides=(self.stride, self.stride),
+            padding=((1, 1), (1, 1)), use_bias=False, name="conv2",
+        )(out)
+        out = bn(name="bn2")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, name="conv3")(out)
+        out = bn(name="bn3")(out)
+        if self.downsample:
+            residual = nn.Conv(
+                self.planes * 4, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, name="downsample_conv",
+            )(x)
+            residual = bn(name="downsample_bn")(residual)
+        return nn.relu(out + residual)
+
+
+class ResNet50(nn.Module):
+    """torchvision/mmaction-layout ResNet-50 feature extractor (2048-d)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9, epsilon=1e-5)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, name="conv1")(x)
+        x = bn(name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for li, (planes, blocks, stride) in enumerate(
+            [(64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2)], start=1
+        ):
+            for bi in range(blocks):
+                x = Bottleneck(
+                    planes, stride=stride if bi == 0 else 1, downsample=(bi == 0),
+                    name=f"layer{li}_{bi}",
+                )(x, train=train)
+        return x.mean(axis=(1, 2))  # global average pool → [B, 2048]
+
+
+def port_torch_resnet(state_dict: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
+    """torch/mmaction ResNet-50 state_dict → flax {params, batch_stats}.
+
+    Accepts torchvision names (layer1.0.conv1.weight, downsample.0/..1) with
+    an optional prefix (mmaction: 'backbone.').
+    """
+
+    def get(k):
+        v = state_dict[prefix + k]
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def conv(dst, src):
+        params[dst] = {"kernel": get(src + ".weight").transpose(2, 3, 1, 0)}
+
+    def bnorm(dst, src):
+        params[dst] = {"scale": get(src + ".weight"), "bias": get(src + ".bias")}
+        stats[dst] = {"mean": get(src + ".running_mean"), "var": get(src + ".running_var")}
+
+    conv("conv1", "conv1")
+    bnorm("bn1", "bn1")
+    for li, blocks in enumerate([3, 4, 6, 3], start=1):
+        for bi in range(blocks):
+            base = f"layer{li}.{bi}"
+            dst = f"layer{li}_{bi}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            for ci in (1, 2, 3):
+                bp[f"conv{ci}"] = {
+                    "kernel": get(f"{base}.conv{ci}.weight").transpose(2, 3, 1, 0)
+                }
+                bp[f"bn{ci}"] = {
+                    "scale": get(f"{base}.bn{ci}.weight"),
+                    "bias": get(f"{base}.bn{ci}.bias"),
+                }
+                bs[f"bn{ci}"] = {
+                    "mean": get(f"{base}.bn{ci}.running_mean"),
+                    "var": get(f"{base}.bn{ci}.running_var"),
+                }
+            if prefix + f"{base}.downsample.0.weight" in state_dict:
+                bp["downsample_conv"] = {
+                    "kernel": get(f"{base}.downsample.0.weight").transpose(2, 3, 1, 0)
+                }
+                bp["downsample_bn"] = {
+                    "scale": get(f"{base}.downsample.1.weight"),
+                    "bias": get(f"{base}.downsample.1.bias"),
+                }
+                bs["downsample_bn"] = {
+                    "mean": get(f"{base}.downsample.1.running_mean"),
+                    "var": get(f"{base}.downsample.1.running_var"),
+                }
+            params[dst] = bp
+            stats[dst] = bs
+    return {"params": params, "batch_stats": stats}
+
+
+class TSNExtractor:
+    """TSN feature extraction: sample segments, backbone, average consensus
+    (mmaction recognizer2d with feature_extraction=True)."""
+
+    def __init__(self, variables=None, n_segments: int = 8, crop_size: int = 224):
+        self.model = ResNet50()
+        self.n_segments = n_segments
+        self.crop_size = crop_size
+        if variables is None:
+            dummy = jnp.zeros((1, crop_size, crop_size, 3))
+            variables = jax.jit(partial(self.model.init, train=False))(
+                jax.random.PRNGKey(0), dummy
+            )
+        self.variables = variables
+        self._fwd = jax.jit(
+            lambda v, x: self.model.apply(v, x, train=False)
+        )
+
+    @classmethod
+    def from_torch_checkpoint(cls, path: str, prefix: str = "backbone.", **kw):
+        import torch
+
+        sd = torch.load(path, map_location="cpu")
+        sd = sd.get("state_dict", sd)
+        return cls(variables=port_torch_resnet(sd, prefix), **kw)
+
+    def sample_segments(self, n_frames: int) -> np.ndarray:
+        """TSN uniform segment centers (test mode)."""
+        seg = max(n_frames // self.n_segments, 1)
+        idx = np.arange(self.n_segments) * seg + seg // 2
+        return np.minimum(idx, n_frames - 1)
+
+    def preprocess_frames(self, frames: np.ndarray) -> np.ndarray:
+        """[T, H, W, 3] uint8 → resized/normalized [T, S, S, 3] float32."""
+        try:
+            import cv2
+
+            frames = np.stack(
+                [cv2.resize(f, (self.crop_size, self.crop_size)) for f in frames]
+            )
+        except ImportError:
+            # center-crop fallback
+            h, w = frames.shape[1:3]
+            s = min(h, w)
+            y0, x0 = (h - s) // 2, (w - s) // 2
+            frames = frames[:, y0 : y0 + s, x0 : x0 + s]
+            step = max(s // self.crop_size, 1)
+            frames = frames[:, ::step, ::step][:, : self.crop_size, : self.crop_size]
+        return (frames.astype(np.float32) - IMAGENET_MEAN) / IMAGENET_STD
+
+    def extract(self, frames: np.ndarray) -> np.ndarray:
+        """[T, H, W, 3] uint8 clip → [2048] TSN consensus feature."""
+        idx = self.sample_segments(len(frames))
+        x = self.preprocess_frames(frames[idx])
+        feats = self._fwd(self.variables, jnp.asarray(x))
+        return np.asarray(feats).mean(0)
+
+
+def crop_speaker_half(frame: np.ndarray, speaker: str) -> np.ndarray:
+    """IEMOCAP half-frame speaker crop (extractor.py:196-208):
+    rows 120:365; left half for 'M', right half for 'F'."""
+    h, w = frame.shape[:2]
+    top, bottom = min(120, h), min(365, h)
+    if speaker == "M":
+        return frame[top:bottom, : w // 2]
+    return frame[top:bottom, w // 2 :]
