@@ -1,0 +1,119 @@
+"""Training-technique extras (reference: lumo/contrib + contrib/tensor.py).
+
+- EMA parameter averaging (lumo/contrib/module/ema.py:20; trainer-level
+  integration lives in models/mmin_base.py's jit step)
+- mixup / label sharpening / label guessing (contrib/tensor.py — the
+  semi-supervised toolkit used by the legacy image tracks)
+- loss zoo (lumo/contrib/nest/trainer/losses.py:12-184): CE, MSE, min-ENT,
+  KL, SimCLR-style contrastive
+All pure jax functions: explicit keys, no hidden state.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def ema_update(ema_params, params, alpha: float = 0.999):
+    """shadow ← α·shadow + (1-α)·params (ema.py:20-…)."""
+    return jax.tree_util.tree_map(lambda e, p: alpha * e + (1 - alpha) * p, ema_params, params)
+
+
+# -- semi-supervised tensor ops (contrib/tensor.py) -------------------------
+
+
+def onehot(labels, n_classes: int):
+    return jax.nn.one_hot(labels, n_classes)
+
+
+def sharpen(probs, T: float = 0.5):
+    """Temperature sharpening of a prob distribution."""
+    p = probs ** (1.0 / T)
+    return p / p.sum(-1, keepdims=True)
+
+
+def mixup(key, x1, y1, x2=None, y2=None, beta: float = 0.75):
+    """Beta-interpolated pairs; single-batch mixup when x2 is None."""
+    if x2 is None:
+        perm = jax.random.permutation(key, x1.shape[0])
+        x2, y2 = x1[perm], y1[perm]
+    lam = jax.random.beta(key, beta, beta)
+    lam = jnp.maximum(lam, 1 - lam)
+    xm = lam * x1 + (1 - lam) * x2
+    ym = lam * y1 + (1 - lam) * y2
+    return xm, ym, lam
+
+
+def label_guess(*prob_list):
+    """Average predictions across augmentations (label guessing)."""
+    return sum(prob_list) / len(prob_list)
+
+
+# -- loss zoo (nest/trainer/losses.py) --------------------------------------
+
+
+def ce_loss(logits, labels, mask=None):
+    logp = jax.nn.log_softmax(logits, -1)
+    if labels.ndim == logits.ndim:  # soft targets
+        nll = -(labels * logp).sum(-1)
+    else:
+        nll = -jnp.take_along_axis(logp, labels[..., None], -1)[..., 0]
+    if mask is None:
+        return nll.mean()
+    return (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def mse_loss(a, b, mask=None):
+    per = ((a - b) ** 2).mean(-1)
+    if mask is None:
+        return per.mean()
+    return (per * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def minent_loss(logits, mask=None):
+    """Entropy minimization of predictions."""
+    p = jax.nn.softmax(logits, -1)
+    ent = -(p * jax.nn.log_softmax(logits, -1)).sum(-1)
+    if mask is None:
+        return ent.mean()
+    return (ent * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def kl_loss(logits_p, logits_q, mask=None):
+    """KL(p ‖ q) between two predicted distributions."""
+    p = jax.nn.softmax(logits_p, -1)
+    kl = (p * (jax.nn.log_softmax(logits_p, -1) - jax.nn.log_softmax(logits_q, -1))).sum(-1)
+    if mask is None:
+        return kl.mean()
+    return (kl * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def contrastive_loss(za, zb, temperature: float = 0.1):
+    """SimCLR NT-Xent over two views [N, D] (losses.py contrastive mixin)."""
+    za = za / jnp.linalg.norm(za, axis=-1, keepdims=True)
+    zb = zb / jnp.linalg.norm(zb, axis=-1, keepdims=True)
+    n = za.shape[0]
+    z = jnp.concatenate([za, zb], 0)
+    sim = z @ z.T / temperature
+    sim = sim - 1e9 * jnp.eye(2 * n)
+    targets = jnp.concatenate([jnp.arange(n) + n, jnp.arange(n)])
+    return ce_loss(sim, targets)
+
+
+class MemoryBank:
+    """Fixed-size FIFO feature bank (models/module_utils.py MemoryBank),
+    functional: (bank, ptr) threaded explicitly."""
+
+    @staticmethod
+    def init(size: int, dim: int):
+        return jnp.zeros((size, dim)), jnp.zeros((), jnp.int32)
+
+    @staticmethod
+    def push(bank, ptr, feats):
+        n = feats.shape[0]
+        size = bank.shape[0]
+        idx = (ptr + jnp.arange(n)) % size
+        return bank.at[idx].set(feats), (ptr + n) % size

@@ -112,9 +112,53 @@ class Experiment:
                 pass
         return out
 
+    def start_heartbeat(self, interval: float = 2.0) -> "Heartbeat":
+        """Liveness beacon (reference: exphook.py TimeMonitor → exp/agent.py
+        detached process appending a heartbeat json + .hb every 2 s).  A
+        daemon thread gives the same signal without process management."""
+        hb = Heartbeat(self.test_dir, interval)
+        hb.start()
+        return hb
+
     @classmethod
     def find_tests(cls, exp_name: str, root: Optional[str] = None) -> list:
         d = os.path.join(root or exproot(), "experiment", exp_name)
         if not os.path.isdir(d):
             return []
         return sorted(os.listdir(d))
+
+
+class Heartbeat:
+    """Daemon thread writing `<test_dir>/.hb` + heartbeat.json periodically."""
+
+    def __init__(self, test_dir: str, interval: float = 2.0):
+        self.test_dir = test_dir
+        self.interval = interval
+        self._stop = False
+        self._thread = None
+
+    def start(self):
+        import threading
+
+        def loop():
+            import json as _json
+
+            path = os.path.join(self.test_dir, "heartbeat.json")
+            flag = os.path.join(self.test_dir, ".hb")
+            while not self._stop:
+                stamp = {"pid": os.getpid(), "time": time.time()}
+                try:
+                    with open(path, "w") as f:
+                        _json.dump(stamp, f)
+                    with open(flag, "w") as f:
+                        f.write(str(stamp["time"]))
+                except OSError:
+                    pass
+                time.sleep(self.interval)
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop = True

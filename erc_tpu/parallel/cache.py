@@ -18,6 +18,13 @@ def enable_persistent_cache(path: str | None = None) -> None:
         return
     import jax
 
+    try:
+        if jax.default_backend() != "tpu":
+            # CPU AOT cache entries are machine-feature-specific and can
+            # SIGILL across hosts; only the (slow) TPU compiles benefit
+            return
+    except Exception:
+        return
     path = path or os.environ.get(
         "ERC_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/erc_tpu_xla")
     )

@@ -83,6 +83,32 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def shard_params(params, mesh: Mesh, min_size: int = 1 << 16):
+    """Tensor-parallel placement: large 2-D kernels split over 'model'.
+
+    ERC models are small enough to replicate (SURVEY §2.5: TP not needed
+    for parity), but the mesh carries the axis so bigger backbones (the
+    RoBERTa/TSN preprocessors) shard without code changes.  Kernels whose
+    last dim divides the model axis and whose size ≥ min_size go to
+    P(None, 'model'); everything else replicates.  XLA inserts the
+    all-gathers/reduce-scatters.
+    """
+    model_n = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
+
+    def place(x):
+        if (
+            model_n > 1
+            and hasattr(x, "ndim")
+            and x.ndim == 2
+            and x.size >= min_size
+            and x.shape[-1] % model_n == 0
+        ):
+            return jax.device_put(x, NamedSharding(mesh, P(None, "model")))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(place, params)
+
+
 def is_main_process() -> bool:
     return jax.process_index() == 0
 

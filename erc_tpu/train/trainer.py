@@ -157,7 +157,13 @@ class Trainer:
             params=params, opt_state=opt_state, model_state=model_state,
             step=jnp.zeros((), jnp.int32),
         )
+        # params (and their opt-state moments) may shard over 'model';
+        # everything else replicates — pure DP when model axis is 1
         self.state = meshlib.replicate(self.state, self.mesh)
+        if dict(zip(self.mesh.axis_names, self.mesh.devices.shape)).get("model", 1) > 1:
+            sharded = meshlib.shard_params(self.state.params, self.mesh)
+            # re-init optimizer on the sharded params so moments co-shard
+            self.state = self.state.replace(params=sharded, opt_state=self.tx.init(sharded))
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
         self.logger.info(
             f"model {type(self.model).__name__}: {n_params/1e6:.3f}M params, "
@@ -290,6 +296,9 @@ class Trainer:
         self.initialize()
         self._build_step_fns()
         self.icallbacks(p)
+        heartbeat = None
+        if p.get("heartbeat", True):
+            heartbeat = self.exp.start_heartbeat()
         train_loader = self.make_loader("train")
         self._fire("train_begin")
         try:
@@ -328,6 +337,9 @@ class Trainer:
             self.exp.record_end(ok=False, error=repr(e))
             self._fire("exception", e)
             raise
+        finally:
+            if heartbeat is not None:
+                heartbeat.stop()
         self._fire("train_end")
         self.metric_board.flush()
         self.database.flush()
