@@ -37,7 +37,7 @@ def make_batches(batch_size, n_batches, max_len, seed=0):
     ]
 
 
-def bench_tpu(batch_size=32, max_len=96, steps=30, graph_impl="banded"):
+def bench_tpu(batch_size=32, max_len=96, steps=32, steps_per_call=8, graph_impl="dense"):
     import jax
 
     from erc_tpu.models.cogmen import COGMENParams, COGMENTrainer
@@ -48,26 +48,46 @@ def bench_tpu(batch_size=32, max_len=96, steps=30, graph_impl="banded"):
     p.train.batch_size = batch_size
     p.max_seq_len = max_len
     p.graph_impl = graph_impl
+    p.steps_per_call = steps_per_call
     p.iparams()
     tr = COGMENTrainer(p)
     tr.initialize()
     tr._build_step_fns()
 
-    batches = make_batches(batch_size, 4, max_len)
-    sharded = [meshlib.shard_batch(b, tr.mesh) for b in batches]
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from erc_tpu.train.trainer import _stack_batches
+
+    K = max(steps_per_call, 1)
+    batches = make_batches(batch_size, K, max_len)
+    if K == 1:
+        sharded = meshlib.shard_batch(batches[0], tr.mesh)
+        fn = lambda st, i: tr._train_step_fn(st, sharded, tr.rng.key("d", i))
+        per_call = 1
+    else:
+        sh = NamedSharding(tr.mesh, PartitionSpec(None, "data"))
+        stacked = {
+            k: (jax.device_put(v, sh) if v is not None else None)
+            for k, v in _stack_batches(batches).items()
+        }
+        keys = jnp.stack([tr.rng.key("d", i) for i in range(K)])
+        fn = lambda st, i: tr._multi_step_fn(st, stacked, keys)
+        per_call = K
 
     # warmup / compile
     state = tr.state
-    for i in range(3):
-        state, mets = tr._train_step_fn(state, sharded[i % len(sharded)], tr.rng.key("d", i))
+    for i in range(2):
+        state, mets = fn(state, i)
     jax.block_until_ready(state.params)
 
+    n_calls = max(steps // per_call, 1)
     t0 = time.perf_counter()
-    for i in range(steps):
-        state, mets = tr._train_step_fn(state, sharded[i % len(sharded)], tr.rng.key("d", 100 + i))
+    for i in range(n_calls):
+        state, mets = fn(state, 100 + i)
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
-    return batch_size * steps / dt
+    return batch_size * n_calls * per_call / dt
 
 
 def bench_torch_baseline(batch_size=32, max_len=96, steps=10):
@@ -144,7 +164,8 @@ def main():
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--max-len", type=int, default=96)
     ap.add_argument("--steps", type=int, default=30)
-    ap.add_argument("--graph-impl", default="banded", choices=["banded", "dense"])
+    ap.add_argument("--graph-impl", default="dense", choices=["banded", "dense"])
+    ap.add_argument("--steps-per-call", type=int, default=8)
     args = ap.parse_args()
 
     if args.measure_baseline:
@@ -153,7 +174,7 @@ def main():
                           "unit": "dialogues/s"}))
         return
 
-    dps = bench_tpu(args.batch_size, args.max_len, args.steps, args.graph_impl)
+    dps = bench_tpu(args.batch_size, args.max_len, args.steps, args.steps_per_call, args.graph_impl)
     print(
         json.dumps(
             {

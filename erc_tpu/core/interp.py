@@ -112,6 +112,49 @@ class PeriodLinear(Interp):
         return self.start + (self.end - self.start) * r
 
 
+def to_optax_schedule(curve):
+    """Convert an Interp curve to a traced-step-safe optax schedule fn.
+
+    The curve classes use python math on floats; under jit the step is a
+    traced array, so known curves are re-expressed with jnp ops (the
+    generic fallback evaluates pointwise via a table — exact for every
+    curve at integer steps up to its horizon).
+    """
+    import jax.numpy as jnp
+
+    if isinstance(curve, Constant):
+        return lambda step: jnp.asarray(curve.start)
+    if isinstance(curve, Linear):
+        def lin(step):
+            r = jnp.clip((step - curve.left) / max(curve.right - curve.left, 1e-9), 0, 1)
+            return curve.start + (curve.end - curve.start) * r
+        return lin
+    if isinstance(curve, Cos):
+        def cos(step):
+            r = jnp.clip((step - curve.left) / max(curve.right - curve.left, 1e-9), 0, 1)
+            return curve.end + (curve.start - curve.end) * (1 + jnp.cos(jnp.pi * r)) / 2
+        return cos
+    if isinstance(curve, PowerDecay):
+        return lambda step: curve.start * (curve.decay ** (step / curve.period))
+
+    # generic: precomputed table lookup (horizon = right bound or period)
+    horizon = int(getattr(curve, "right", 0) or getattr(curve, "period", 0) or 1000) + 1
+    import numpy as np
+
+    table = jnp.asarray(np.array([curve(s) for s in range(horizon + 1)], np.float32))
+
+    periodic = getattr(curve, "period", None) is not None and not hasattr(curve, "decay")
+
+    def lookup(step):
+        if periodic:
+            idx = (step.astype(jnp.int32) if hasattr(step, "astype") else int(step)) % horizon
+        else:
+            idx = jnp.clip(step, 0, horizon).astype(jnp.int32)
+        return table[idx]
+
+    return lookup
+
+
 class InterpList:
     """Piecewise schedule: list of (curve, until_step) segments."""
 

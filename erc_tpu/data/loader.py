@@ -76,6 +76,57 @@ class DialogueLoader:
         self.epoch += 1
 
 
+class LoaderSide:
+    """Zip/chain multiple loaders (reference: DataLoaderSide loader.py:110-166
+    — the semi-supervised labelled+unlabelled pattern).
+
+    zip mode: yields dicts {name: batch}; shorter loaders cycle.
+    chain mode: yields each loader's batches in sequence.
+    """
+
+    def __init__(self):
+        self._loaders = {}
+        self._cycle = {}
+        self._mode = "zip"
+
+    def add(self, name: str, loader, cycle: bool = False) -> "LoaderSide":
+        self._loaders[name] = loader
+        self._cycle[name] = cycle
+        return self
+
+    def zip(self) -> "LoaderSide":
+        self._mode = "zip"
+        return self
+
+    def chain(self) -> "LoaderSide":
+        self._mode = "chain"
+        return self
+
+    def __len__(self):
+        lens = [len(l) for n, l in self._loaders.items() if not self._cycle[n]]
+        if self._mode == "chain":
+            return sum(len(l) for l in self._loaders.values())
+        return min(lens) if lens else max(len(l) for l in self._loaders.values())
+
+    def __iter__(self):
+        import itertools
+
+        if self._mode == "chain":
+            for loader in self._loaders.values():
+                yield from loader
+            return
+        its = {
+            n: (itertools.cycle(l) if self._cycle[n] else iter(l))
+            for n, l in self._loaders.items()
+        }
+        n_batches = len(self)
+        for _ in range(n_batches):
+            try:
+                yield {n: next(it) for n, it in its.items()}
+            except StopIteration:
+                return
+
+
 class PrefetchLoader:
     """Background-thread prefetch wrapper: collation of batch N+1 overlaps
     device execution of batch N (the torch-DataLoader-workers equivalent)."""

@@ -46,6 +46,7 @@ class MMBaseParams(BaseParams):
         self.max_seq_len = 128
         self.length_bucket = 0  # 0 = single bucket (pad to max_seq_len); >0 = bucketed
         self.sort_by_length = True
+        self.steps_per_call = 1  # >1: lax.scan K steps per dispatch (9× at ERC sizes)
         self.eval_per_epoch = 1
         self.data_root = None
 

@@ -31,6 +31,27 @@ def create_optim(name: str, lr: float = 1e-3, weight_decay: float = 0.0, **kw) -
     return p
 
 
+def create_schedule(name: str, **kw) -> Params:
+    """Config-object scheduler (reference: InterpFactory factory.py:10-21)."""
+    p = Params()
+    p.name = name
+    for k, v in kw.items():
+        p[k] = v
+    return p
+
+
+def build_schedule(cfg: Optional[Params]):
+    """sche config → optax schedule fn multiplying the base LR."""
+    if cfg is None or not cfg.get("name"):
+        return None
+    from erc_tpu.core import interp
+
+    name = cfg.get("name")
+    cls = getattr(interp, name)
+    kw = {k: v for k, v in cfg.items() if k != "name"}
+    return interp.to_optax_schedule(cls(**kw))
+
+
 def build_optim(cfg: Params, grad_clip_norm: Optional[float] = None):
     name = cfg.get("name", "Adam").lower()
     lr = float(cfg.get("lr", 1e-3))

@@ -1,0 +1,111 @@
+"""DatasetBuilder, LoaderSide, interp→optax schedules, multi-step training."""
+
+import numpy as np
+import pytest
+
+from erc_tpu.data.builder import DatasetBuilder
+from erc_tpu.data.loader import DialogueLoader, LoaderSide
+from erc_tpu.data.collate import ERCBatcher
+from erc_tpu.data.synthetic import synthetic_erc
+
+
+def test_dataset_builder_chain_and_transforms():
+    samples = [{"v": i} for i in range(5)]
+    calls = []
+
+    def double(d):
+        calls.append(d["v"])
+        return {"v": d["v"] * 2}
+
+    ds = (
+        DatasetBuilder()
+        .add_input("all", samples)
+        .add_output("all", "all")
+        .add_output_transform("all", double)
+        .chain()
+    )
+    assert len(ds) == 5
+    assert ds[2] == {"v": 4}
+    ds2 = DatasetBuilder().add_input("a", samples).add_output("a", "x").zip()
+    assert ds2[1] == {"x": {"v": 1}}
+
+
+def test_dataset_builder_pseudo_sizing():
+    samples = list(range(4))
+    ds = DatasetBuilder().add_input("all", samples).add_output("all", "all").chain()
+    ds.repeat(3)
+    assert len(ds) == 12
+    assert ds[5] == samples[1]
+    ds.scale_to_size(7)
+    assert len(ds) == 7
+    ds2 = (
+        DatasetBuilder().add_input("all", samples).add_output("all", "all").chain().subset([2, 3])
+    )
+    assert len(ds2) == 2 and ds2[0] == 2
+
+
+def test_loader_side_zip_and_chain():
+    s1 = synthetic_erc("iemocap-cogmen", 6, n_train=8, min_len=4, max_len=8)
+    s2 = synthetic_erc("iemocap-cogmen", 6, n_train=4, min_len=4, max_len=8, seed=5)
+    mk = lambda s: DialogueLoader(s, ERCBatcher("atv", 6, 2, max_len=8), 4, shuffle=False)
+    side = LoaderSide().add("sup", mk(s1)).add("unsup", mk(s2), cycle=True).zip()
+    batches = list(side)
+    assert len(batches) == 2
+    assert set(batches[0].keys()) == {"sup", "unsup"}
+    chain = LoaderSide().add("a", mk(s1)).add("b", mk(s2)).chain()
+    assert len(list(chain)) == 3
+
+
+def test_interp_to_optax_schedule():
+    import jax.numpy as jnp
+
+    from erc_tpu.core import interp
+
+    cos = interp.Cos(1.0, 0.1, 0, 100)
+    fn = interp.to_optax_schedule(cos)
+    for s in (0, 50, 100, 150):
+        np.testing.assert_allclose(float(fn(jnp.asarray(s))), cos(s), rtol=1e-5)
+    tri = interp.PeriodTriangle(0.0, 1.0, 10)
+    fn2 = interp.to_optax_schedule(tri)
+    np.testing.assert_allclose(float(fn2(jnp.asarray(5))), tri(5), rtol=1e-4)
+
+
+def test_build_schedule_from_config():
+    from erc_tpu.train.optim import create_schedule, build_schedule
+
+    sche = create_schedule("Cos", start=1.0, end=0.0, left=0, right=10)
+    fn = build_schedule(sche)
+    assert abs(float(fn(0)) - 1.0) < 1e-6
+    assert abs(float(fn(10))) < 1e-6
+    assert build_schedule(None) is None
+
+
+@pytest.mark.slow
+def test_multi_step_training_matches_single_step(tmp_path):
+    """steps_per_call=2 must produce identical params to steps_per_call=1."""
+    import os
+
+    import jax
+
+    os.environ["ERC_TPU_EXPROOT"] = str(tmp_path)
+    from erc_tpu.models.cogmen import COGMENParams, COGMENTrainer
+
+    def run(spc):
+        p = COGMENParams()
+        p.dataset = "synthetic-cogmen-6"
+        p.epoch = 1
+        p.max_seq_len = 16
+        p.train.batch_size = 8
+        p.test.batch_size = 8
+        p.eval_per_epoch = 0
+        p.steps_per_call = spc
+        p.heartbeat = False
+        p.iparams()
+        tr = COGMENTrainer(p)
+        tr.train()
+        return jax.tree_util.tree_map(np.asarray, tr.state.params)
+
+    p1 = run(1)
+    p2 = run(2)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
