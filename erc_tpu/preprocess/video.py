@@ -197,6 +197,44 @@ class TSNExtractor:
         return np.asarray(feats).mean(0)
 
 
+class X3DExtractor:
+    """X3D clip features (mmaction recognizer3d feature_extraction path):
+    uniform temporal sampling → backbone → pooled [feat_dim]."""
+
+    def __init__(self, variables=None, n_frames: int = 16, crop_size: int = 224, model=None):
+        from erc_tpu.preprocess.x3d import X3D
+
+        self.model = model or X3D()
+        self.n_frames = n_frames
+        self.crop_size = crop_size
+        if variables is None:
+            dummy = jnp.zeros((1, n_frames, crop_size, crop_size, 3))
+            variables = jax.jit(partial(self.model.init, train=False))(
+                jax.random.PRNGKey(0), dummy
+            )
+        self.variables = variables
+        self._fwd = jax.jit(lambda v, x: self.model.apply(v, x, train=False))
+
+    @classmethod
+    def from_torch_checkpoint(cls, path: str, prefix: str = "backbone.", **kw):
+        import torch
+
+        from erc_tpu.preprocess.x3d import X3D, port_torch_x3d
+
+        sd = torch.load(path, map_location="cpu")
+        sd = sd.get("state_dict", sd)
+        model = X3D()
+        return cls(variables=port_torch_x3d(sd, prefix, model), model=model, **kw)
+
+    def extract(self, frames: np.ndarray) -> np.ndarray:
+        """[T, H, W, 3] uint8 clip → [feat_dim] feature."""
+        T = len(frames)
+        idx = np.linspace(0, T - 1, self.n_frames).round().astype(int)
+        clip = TSNExtractor.preprocess_frames(self, frames[idx])  # reuse resize+norm
+        feat = self._fwd(self.variables, jnp.asarray(clip)[None])
+        return np.asarray(feat)[0]
+
+
 def crop_speaker_half(frame: np.ndarray, speaker: str) -> np.ndarray:
     """IEMOCAP half-frame speaker crop (extractor.py:196-208):
     rows 120:365; left half for 'M', right half for 'F'."""
