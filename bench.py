@@ -37,20 +37,34 @@ def make_batches(batch_size, n_batches, max_len, seed=0):
     ]
 
 
-def bench_tpu(batch_size=32, max_len=96, steps=32, steps_per_call=8, graph_impl="dense"):
+MODEL_REGISTRY = {
+    "cogmen": ("erc_tpu.models.cogmen", "COGMENParams", "COGMENTrainer"),
+    "dgcn": ("erc_tpu.models.dgcn", "DGCNParams", "DGCNTrainer"),
+    "mmgcn": ("erc_tpu.models.mmgcn", "MMGCNParams", "MMGCNTrainer"),
+    "dagerc": ("erc_tpu.models.dagerc", "DAGERCParams", "DAGERCTrainer"),
+    "cim": ("erc_tpu.models.cim", "CIMParams", "CIMTrainer"),
+}
+
+
+def bench_tpu(batch_size=32, max_len=96, steps=32, steps_per_call=8, graph_impl="dense",
+              model="cogmen"):
+    import importlib
+
     import jax
 
-    from erc_tpu.models.cogmen import COGMENParams, COGMENTrainer
     from erc_tpu.parallel import mesh as meshlib
 
-    p = COGMENParams()
+    mod_name, pcls, tcls = MODEL_REGISTRY[model]
+    mod = importlib.import_module(mod_name)
+    p = getattr(mod, pcls)()
+    trainer_cls = getattr(mod, tcls)
     p.dataset = "synthetic-cogmen-6"
     p.train.batch_size = batch_size
     p.max_seq_len = max_len
     p.graph_impl = graph_impl
     p.steps_per_call = steps_per_call
     p.iparams()
-    tr = COGMENTrainer(p)
+    tr = trainer_cls(p)
     tr.initialize()
     tr._build_step_fns()
 
@@ -166,6 +180,7 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--graph-impl", default="dense", choices=["banded", "dense"])
     ap.add_argument("--steps-per-call", type=int, default=8)
+    ap.add_argument("--model", default="cogmen", choices=list(MODEL_REGISTRY))
     args = ap.parse_args()
 
     if args.measure_baseline:
@@ -174,11 +189,11 @@ def main():
                           "unit": "dialogues/s"}))
         return
 
-    dps = bench_tpu(args.batch_size, args.max_len, args.steps, args.steps_per_call, args.graph_impl)
+    dps = bench_tpu(args.batch_size, args.max_len, args.steps, args.steps_per_call, args.graph_impl, args.model)
     print(
         json.dumps(
             {
-                "metric": "cogmen_train_throughput",
+                "metric": f"{args.model}_train_throughput",
                 "value": round(dps, 2),
                 "unit": "dialogues/s/chip",
                 "vs_baseline": round(dps / TORCH_CPU_BASELINE_DPS, 2),

@@ -1,0 +1,131 @@
+"""Batched inference / serving engine.
+
+The reference has no serving story (lumo/server is empty stubs); this is a
+production-deployment subsystem: load a trained checkpoint, jit the eval
+path once per shape bucket, and serve dialogue → per-utterance emotion
+predictions, either programmatically (``InferenceEngine.predict``) or over
+HTTP (``python -m erc_tpu.serve --checkpoint=... --module=cogmen``).
+
+Requests are micro-batched: the engine pads any number of dialogues to the
+compiled [B, L] bucket, so tail latency is one forward (~ms).
+"""
+
+from __future__ import annotations
+
+import importlib
+import json
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+class InferenceEngine:
+    def __init__(self, trainer, checkpoint_path: Optional[str] = None, batch_size: int = 8):
+        self.trainer = trainer
+        trainer.params.eval_per_epoch = 0
+        trainer.initialize()
+        trainer._build_step_fns()
+        if checkpoint_path:
+            trainer.load_checkpoint(checkpoint_path)
+        self.batch_size = batch_size
+        self.batcher = trainer.batcher(batch_size)
+        self.class_names = list(trainer.params.get("class_names", []) or [])
+
+    @classmethod
+    def from_module(
+        cls, module: str, checkpoint_path: Optional[str] = None,
+        dataset: Optional[str] = None, **param_overrides,
+    ) -> "InferenceEngine":
+        mod = importlib.import_module(f"erc_tpu.models.{module}")
+        params_cls = getattr(mod, "ParamsType")
+        trainer_cls = [
+            v for k, v in vars(mod).items() if k.endswith("Trainer") and isinstance(v, type)
+        ][-1]
+        p = params_cls()
+        if dataset:
+            p.dataset = dataset
+        for k, v in param_overrides.items():
+            p[k] = v
+        p.iparams()
+        return cls(trainer_cls(p), checkpoint_path)
+
+    def predict(self, dialogues: List[dict]) -> List[dict]:
+        """dialogues: sample dicts (text/audio/visual [L,D], speakers).
+
+        Returns per-dialogue {'pred': [L], 'probs': [L, C], 'labels': [...]}.
+        """
+        from erc_tpu.parallel import mesh as meshlib
+
+        results = []
+        for s in range(0, len(dialogues), self.batch_size):
+            chunk = dialogues[s : s + self.batch_size]
+            for d in chunk:
+                d.setdefault("label", np.zeros(len(d["text"]), np.int64))
+            batch = self.batcher(chunk)
+            sharded = meshlib.shard_batch(batch, self.trainer.mesh)
+            logits = self.trainer._eval_fn(self.trainer.state, sharded)
+            if isinstance(logits, tuple):
+                logits = logits[0]
+            logits = np.asarray(logits)
+            probs = np.exp(logits - logits.max(-1, keepdims=True))
+            probs = probs / probs.sum(-1, keepdims=True)
+            for i, d in enumerate(chunk):
+                ln = len(d["text"])
+                pred = logits[i, :ln].argmax(-1)
+                out = {"pred": pred.tolist(), "probs": probs[i, :ln].tolist()}
+                if self.class_names:
+                    out["labels"] = [self.class_names[int(c)] for c in pred]
+                results.append(out)
+        return results
+
+
+def _serve_http(engine: InferenceEngine, host: str, port: int):
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n))
+                dialogues = [
+                    {k: np.asarray(v, np.float32) if k in ("text", "audio", "visual") else v
+                     for k, v in d.items()}
+                    for d in payload["dialogues"]
+                ]
+                res = engine.predict(dialogues)
+                body = json.dumps({"results": res}).encode()
+                self.send_response(200)
+            except Exception as e:  # noqa: BLE001
+                body = json.dumps({"error": repr(e)}).encode()
+                self.send_response(400)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer((host, port), Handler)
+    print(f"serving on http://{host}:{port}  (POST {{'dialogues': [...]}})")
+    srv.serve_forever()
+
+
+def main():
+    from erc_tpu.core.params import BaseParams
+
+    p = BaseParams()
+    p.module = "cogmen"
+    p.checkpoint = None
+    p.dataset = "synthetic-cogmen-6"
+    p.host = "127.0.0.1"
+    p.port = 8400
+    p.finalize()
+    engine = InferenceEngine.from_module(
+        p.module, p.get("checkpoint"), dataset=p.dataset
+    )
+    _serve_http(engine, p.host, int(p.port))
+
+
+if __name__ == "__main__":
+    main()
