@@ -44,6 +44,7 @@ class MMGCNParams(MMBaseParams):
         self.graph_hidden_size = 200
         self.gcn_layers = 64
         self.drop_rate = 0.4
+        self.adj_impl = self.choice("structured", "dense")
 
     def iparams(self):
         super().iparams()
@@ -71,6 +72,7 @@ class MMGCNModule(nn.Module):
     gcn_layers: int = 64
     drop_rate: float = 0.4
     use_speaker: bool = True
+    adj_impl: str = "structured"
 
     @nn.compact
     def __call__(self, batch, deterministic: bool = True):
@@ -105,23 +107,45 @@ class MMGCNModule(nn.Module):
 
         order = [m for m in "avt" if m in self.modals]  # [a, v, l] order (ref)
         flist = [feats[m] for m in order]
-        adj = graphs.mmgcn_big_adjacency(flist, mask)  # [B, M*L, M*L]
-        x = jnp.concatenate(flist, axis=1)  # [B, M*L, n_dim]
 
-        # GCNII_lyc (mmgcn_models.py:373-394): drop → fc0+relu → 64 convs → drop
-        x = drop(x)
-        h = nn.relu(nn.Dense(self.graph_hidden_size, name="fc0")(x))
-        h = GCNIIStack(
-            nlayers=self.gcn_layers, nhidden=self.graph_hidden_size,
-            lamda=0.5, alpha=0.1, dropout=self.drop_rate if not deterministic else 0.0,
-            name="gcnii",
-        )(h, adj, deterministic=deterministic)
-        h = drop(h)
-        h = jnp.concatenate([x, h], -1)  # use_residue → [B, M*L, n_dim + hidden]
+        if self.adj_impl == "structured":
+            # block-sparse big adjacency: M dense blocks + diagonal cross
+            # blocks (3× fewer aggregation FLOPs; numerically identical)
+            intra, cross = graphs.mmgcn_structured_adjacency(flist, mask)
+            x = jnp.stack(flist, axis=1)  # [B, M, L, n_dim]
+            x = drop(x)
+            h = nn.relu(nn.Dense(self.graph_hidden_size, name="fc0")(x))
+            from erc_tpu.ops.gnn import GCNIIStackStructured
 
-        # regroup modal chunks per utterance (mmgcn_models.py:571-576)
-        chunks = jnp.split(h, len(order), axis=1)
-        feat = jnp.concatenate(chunks, axis=-1)  # [B, L, M*(n_dim+hidden)]
+            h = GCNIIStackStructured(
+                nlayers=self.gcn_layers, nhidden=self.graph_hidden_size,
+                lamda=0.5, alpha=0.1,
+                dropout=self.drop_rate if not deterministic else 0.0,
+                name="gcnii",
+            )(h, intra, cross, deterministic=deterministic)
+            h = drop(h)
+            h = jnp.concatenate([x, h], -1)  # [B, M, L, n_dim + hidden]
+            B, M, L, C = h.shape
+            feat = jnp.moveaxis(h, 1, 2).reshape(B, L, M * C)
+        else:
+            adj = graphs.mmgcn_big_adjacency(flist, mask)  # [B, M*L, M*L]
+            x = jnp.concatenate(flist, axis=1)  # [B, M*L, n_dim]
+
+            # GCNII_lyc (mmgcn_models.py:373-394): drop → fc0+relu → convs → drop
+            x = drop(x)
+            h = nn.relu(nn.Dense(self.graph_hidden_size, name="fc0")(x))
+            h = GCNIIStack(
+                nlayers=self.gcn_layers, nhidden=self.graph_hidden_size,
+                lamda=0.5, alpha=0.1,
+                dropout=self.drop_rate if not deterministic else 0.0,
+                name="gcnii",
+            )(h, adj, deterministic=deterministic)
+            h = drop(h)
+            h = jnp.concatenate([x, h], -1)  # use_residue → [B, M*L, n_dim + hidden]
+
+            # regroup modal chunks per utterance (mmgcn_models.py:571-576)
+            chunks = jnp.split(h, len(order), axis=1)
+            feat = jnp.concatenate(chunks, axis=-1)  # [B, L, M*(n_dim+hidden)]
 
         feat = drop(feat)
         feat = nn.relu(feat)
@@ -140,6 +164,7 @@ class MMGCNTrainer(Trainer):
             graph_hidden_size=params.graph_hidden_size,
             gcn_layers=params.gcn_layers,
             drop_rate=params.drop_rate,
+            adj_impl=params.adj_impl,
         )
         self.tx = optim_factory.build_optim(params.optim)
 

@@ -196,3 +196,47 @@ class GCNIIStack(nn.Module):
         # does not matter; we keep 'buv,bud->bvd' (aggregate over axis 1).
         h, _ = jax.lax.scan(layer, h0, (Ws, thetas, keys))
         return h
+
+
+class GCNIIStackStructured(nn.Module):
+    """GCNIIStack over MMGCN's *structured* big adjacency.
+
+    x: [B, M, L, D]; adjacency = (intra [M, B, L, L], cross [M, M, B, L])
+    from ops.graphs.mmgcn_structured_adjacency — ~3× fewer aggregation
+    FLOPs than the dense (M·L)² form, numerically identical
+    (test_mmgcn_structured)."""
+
+    nlayers: int
+    nhidden: int
+    lamda: float = 0.5
+    alpha: float = 0.1
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, intra, cross, deterministic: bool = True):
+        from erc_tpu.ops.graphs import structured_adj_matmul
+
+        nh = self.nhidden
+        scale = 1.0 / jnp.sqrt(nh)
+        Ws = self.param("convs", _uniform(scale), (self.nlayers, 2 * nh, nh))
+        h0 = x
+        thetas = jnp.log(self.lamda / jnp.arange(1, self.nlayers + 1) + 1.0)
+        if not deterministic and self.dropout > 0:
+            keys = jax.random.split(self.make_rng("dropout"), self.nlayers)
+        else:
+            keys = jnp.zeros((self.nlayers, 2), jnp.uint32)
+        keep = 1.0 - self.dropout
+
+        def layer(h, inp):
+            W, theta, key = inp
+            if not deterministic and self.dropout > 0:
+                mask = jax.random.bernoulli(key, keep, h.shape)
+                h = jnp.where(mask, h / keep, 0.0)
+            hi = structured_adj_matmul(intra, cross, h).astype(h.dtype)
+            support = jnp.concatenate([hi, h0], -1)
+            r = (1 - self.alpha) * hi + self.alpha * h0
+            out = theta * (support @ W) + (1 - theta) * r
+            return nn.relu(out), None
+
+        h, _ = jax.lax.scan(layer, h0, (Ws, thetas, keys))
+        return h

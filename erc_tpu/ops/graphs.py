@@ -123,6 +123,47 @@ def cross_modal_diag_similarity(x, y, valid, eps: float = 1e-12):
     return sim * valid
 
 
+def mmgcn_structured_adjacency(feats: list, valid):
+    """MMGCN big adjacency in *structured* form, exploiting its block
+    sparsity: intra-modal blocks are dense [L, L], cross-modal blocks are
+    diagonal (mmgcn_models.py:614-634) — so A @ x costs M dense matmuls +
+    M(M-1) elementwise products instead of one (M·L)² matmul (3× less for
+    M=3).
+
+    Returns (intra [M, B, L, L], cross [M, M, B, L]) with the same
+    D^-1/2 A D^-1/2 normalization as mmgcn_big_adjacency; cross[m][m] = 0.
+    """
+    M = len(feats)
+    B, L, _ = feats[0].shape
+    intra = jnp.stack([angular_similarity(f, valid) for f in feats])  # [M, B, L, L]
+    cross = jnp.zeros((M, M, B, L))
+    for m in range(M):
+        for n in range(M):
+            if m != n:
+                cross = cross.at[m, n].set(
+                    cross_modal_diag_similarity(feats[m], feats[n], valid)
+                )
+    # degrees: row sum over the full (M·L) row of the big matrix
+    deg = intra.sum(-1) + cross.sum(1)  # [M, B, L]
+    dinv = jnp.where(deg > 0, 1.0 / jnp.sqrt(deg), 0.0)
+    intra = intra * dinv[:, :, :, None] * dinv[:, :, None, :]
+    cross = cross * dinv[:, None] * dinv[None, :]
+    return intra, cross
+
+
+def structured_adj_matmul(intra, cross, x):
+    """(A @ x) for the structured big adjacency.
+
+    x: [B, M, L, D] → [B, M, L, D].
+    out[m] = intra[m] @ x[m] + Σ_{n≠m} diag(cross[m,n]) · x[n]
+    """
+    dense = jnp.einsum(
+        "mbuv,bmvd->bmud", intra, x, preferred_element_type=jnp.float32
+    )
+    diag = jnp.einsum("mnbl,bnld->bmld", cross, x)
+    return dense + diag
+
+
 def mmgcn_big_adjacency(feats: list, valid):
     """MMGCN's (M·L)² "big adjacency" in padded batch form.
 

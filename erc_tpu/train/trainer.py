@@ -91,6 +91,10 @@ class Trainer:
         prec = params.get("matmul_precision", "bfloat16")
         if prec:
             jax.config.update("jax_default_matmul_precision", prec)
+        if params.get("debug_nans"):
+            # compiler-level NaN checking (SURVEY §5.2 sanitizer story);
+            # heavier than the NaNGuard callback but pinpoints the op
+            jax.config.update("jax_debug_nans", True)
         self.params = params
         self.logger = Logger()
         self.rng = RngPool(params.seed)

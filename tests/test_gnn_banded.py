@@ -143,3 +143,24 @@ def test_dgcn_module_banded_matches_dense():
     np.testing.assert_allclose(
         np.where(m, got, 0), np.where(m, want, 0), rtol=1e-4, atol=1e-4
     )
+
+
+def test_mmgcn_structured_matches_dense():
+    """Structured big-adjacency GCNII ≡ dense (M·L)² form."""
+    from erc_tpu.models.mmgcn import MMGCNModule
+    from erc_tpu.data.synthetic import synthetic_erc
+    from erc_tpu.data.collate import ERCBatcher
+
+    samples = synthetic_erc("iemocap-cogmen", 6, n_train=3, min_len=6, max_len=12)
+    batch = ERCBatcher("atv", 6, 2, max_len=16)(samples)
+    kw = dict(hidden_text=100, hidden_audio=100, hidden_visual=512,
+              n_speakers=2, n_classes=6, gcn_layers=4)
+    dense = MMGCNModule(adj_impl="dense", **kw)
+    struct = MMGCNModule(adj_impl="structured", **kw)
+    pd = dense.init(jax.random.PRNGKey(0), batch, deterministic=True)["params"]
+    want = np.asarray(dense.apply({"params": pd}, batch, deterministic=True))
+    got = np.asarray(struct.apply({"params": pd}, batch, deterministic=True))
+    m = batch["attention_mask"][..., None] > 0
+    np.testing.assert_allclose(
+        np.where(m, got, 0), np.where(m, want, 0), rtol=1e-4, atol=1e-4
+    )
