@@ -84,6 +84,11 @@ class Experiment:
         # rerun script (reference: exphook.py:33-50)
         with open(self.test_file("rerun.sh"), "w") as f:
             f.write("#!/bin/bash\n" + " ".join([sys.executable] + sys.argv) + "\n")
+        # daily diary index (reference: exphook.py Diary :59-63)
+        diary_dir = os.path.join(self.root, "diary")
+        os.makedirs(diary_dir, exist_ok=True)
+        with open(os.path.join(diary_dir, time.strftime("%y%m%d") + ".log"), "a") as f:
+            f.write(f"{time.strftime('%H:%M:%S')} {self.exp_name}/{self.test_name}\n")
 
     def record_end(self, ok: bool = True, error: Optional[str] = None) -> None:
         self.dump_info(

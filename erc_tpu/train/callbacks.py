@@ -205,3 +205,65 @@ class RemoteCallback(Callback):
             {"stage": "test", "epoch": tr.eidx,
              **{k: v for k, v in res.items() if isinstance(v, (int, float))}}
         )
+
+
+class NotionCallback(Callback):
+    """Experiment rows in a Notion database (reference: contrib/notion_cb.py:149).
+
+    Posts one page per test with dataset / params-hash / best-metric
+    properties via the public Notion API; disabled unless both token and
+    database id are provided.  Failures never interrupt training."""
+
+    def __init__(self, token: str, database_id: str, timeout: float = 3.0):
+        self.token = token
+        self.database_id = database_id
+        self.timeout = timeout
+        self.page_id = None
+
+    def _req(self, method, url, payload):
+        import json as _json
+        import urllib.request
+
+        req = urllib.request.Request(
+            url,
+            data=_json.dumps(payload).encode(),
+            headers={
+                "Authorization": f"Bearer {self.token}",
+                "Content-Type": "application/json",
+                "Notion-Version": "2022-06-28",
+            },
+            method=method,
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                import json as _json2
+
+                return _json2.loads(r.read())
+        except Exception:
+            return None
+
+    def train_begin(self, tr):
+        props = {
+            "Name": {"title": [{"text": {"content": tr.exp.test_name}}]},
+            "dataset": {"rich_text": [{"text": {"content": str(tr.params.get("dataset"))}}]},
+            "params_hash": {"rich_text": [{"text": {"content": tr.params.hash()}}]},
+        }
+        out = self._req(
+            "POST", "https://api.notion.com/v1/pages",
+            {"parent": {"database_id": self.database_id}, "properties": props},
+        )
+        if out:
+            self.page_id = out.get("id")
+
+    def test_end(self, tr, res):
+        if not self.page_id:
+            return
+        props = {
+            k: {"number": float(v)}
+            for k, v in res.items()
+            if isinstance(v, (int, float)) and k in ("f1", "acc", "wa", "maf1")
+        }
+        self._req(
+            "PATCH", f"https://api.notion.com/v1/pages/{self.page_id}",
+            {"properties": props},
+        )
