@@ -90,9 +90,13 @@ def dag_adjacency(speakers, lengths, max_len: int, windowp: int = 1):
 
 
 def degree_normalize_sym(adj, eps: float = 0.0):
-    """D^{-1/2} A D^{-1/2} with zero-degree guard (mmgcn_models.py:638-644)."""
+    """D^{-1/2} A D^{-1/2} with zero-degree guard (mmgcn_models.py:638-644).
+
+    NB the double-where: ``where(d>0, rsqrt(d), 0)`` alone still evaluates
+    rsqrt(0) in the backward pass and poisons gradients with NaN."""
     d = adj.sum(-1)
-    dinv = jnp.where(d > 0, jax_rsqrt(d), 0.0)
+    d_safe = jnp.where(d > 0, d, 1.0)
+    dinv = jnp.where(d > 0, jax_rsqrt(d_safe), 0.0)
     return adj * dinv[..., :, None] * dinv[..., None, :]
 
 
@@ -106,8 +110,10 @@ def angular_similarity(x, valid, eps: float = 1e-12):
     (reference: mmgcn_models.py:604-611 intra-modal blocks.)
     x: [B, L, D]; valid: [B, L].  Invalid rows give 0 similarity.
     """
-    norm = jnp.sqrt(jnp.sum(x * x, -1, keepdims=True))
-    xn = x / jnp.maximum(norm, eps)
+    # sqrt inside maximum: plain sqrt(0) on padded rows has inf gradient
+    # and 0·inf = NaN poisons the backward pass
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(x * x, -1, keepdims=True), eps * eps))
+    xn = x / norm
     cos = jnp.einsum("bld,bmd->blm", xn, xn) * 0.99999
     sim = 1.0 - jnp.arccos(jnp.clip(cos, -1.0, 1.0)) / np.pi
     pv = valid[:, :, None] * valid[:, None, :]
@@ -116,8 +122,8 @@ def angular_similarity(x, valid, eps: float = 1e-12):
 
 def cross_modal_diag_similarity(x, y, valid, eps: float = 1e-12):
     """Per-utterance 1 - arccos(0.99999·cos(x_i, y_i))/π (mmgcn_models.py:621-634)."""
-    nx = x / jnp.maximum(jnp.sqrt(jnp.sum(x * x, -1, keepdims=True)), eps)
-    ny = y / jnp.maximum(jnp.sqrt(jnp.sum(y * y, -1, keepdims=True)), eps)
+    nx = x / jnp.sqrt(jnp.maximum(jnp.sum(x * x, -1, keepdims=True), eps * eps))
+    ny = y / jnp.sqrt(jnp.maximum(jnp.sum(y * y, -1, keepdims=True), eps * eps))
     cos = jnp.sum(nx * ny, -1) * 0.99999
     sim = 1.0 - jnp.arccos(jnp.clip(cos, -1.0, 1.0)) / np.pi
     return sim * valid
@@ -145,7 +151,8 @@ def mmgcn_structured_adjacency(feats: list, valid):
                 )
     # degrees: row sum over the full (M·L) row of the big matrix
     deg = intra.sum(-1) + cross.sum(1)  # [M, B, L]
-    dinv = jnp.where(deg > 0, 1.0 / jnp.sqrt(deg), 0.0)
+    deg_safe = jnp.where(deg > 0, deg, 1.0)  # double-where: no NaN grads
+    dinv = jnp.where(deg > 0, 1.0 / jnp.sqrt(deg_safe), 0.0)
     intra = intra * dinv[:, :, :, None] * dinv[:, :, None, :]
     cross = cross * dinv[:, None] * dinv[None, :]
     return intra, cross

@@ -18,13 +18,28 @@ def _run_one_step(trainer_cls, params, tmp_path):
     tr = trainer_cls(params)
     tr.initialize()
     tr._build_step_fns()
-    batch = tr.example_batch(L=16, B=8)
+    # varied lengths: padded rows must not poison gradients (the MMGCN
+    # arccos/rsqrt NaN-grad bug only shows with zero-padded rows)
+    from erc_tpu.data.synthetic import synthetic_erc
     from erc_tpu.parallel import mesh as meshlib
 
+    p = params
+    samples = synthetic_erc(
+        "custom", p.n_classes, "train", n_train=8, min_len=5, max_len=16,
+        text_dim=p.hidden_text, audio_dim=p.hidden_audio, visual_dim=p.hidden_visual,
+    )
+    for s in samples:
+        s["speakers"] = [
+            np.eye(max(p.n_speakers, 1), dtype=int)[i % max(p.n_speakers, 1)].tolist()
+            for i in range(len(s["label"]))
+        ]
+    batch = tr.batcher(8)(samples)
     sharded = meshlib.shard_batch(batch, tr.mesh)
     state, mets = tr._train_step_fn(tr.state, sharded, tr.rng.key("dropout", 0))
     loss = float(np.asarray(mets["Lall"]))
+    gnorm = float(np.asarray(mets["gnorm"]))
     assert np.isfinite(loss), loss
+    assert np.isfinite(gnorm), f"non-finite gradients (gnorm={gnorm})"
     tr.state = state
     logits = tr._eval_fn(tr.state, sharded)
     return tr, loss, logits
