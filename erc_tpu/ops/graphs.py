@@ -115,7 +115,9 @@ def angular_similarity(x, valid, eps: float = 1e-12):
     norm = jnp.sqrt(jnp.maximum(jnp.sum(x * x, -1, keepdims=True), eps * eps))
     xn = x / norm
     cos = jnp.einsum("bld,bmd->blm", xn, xn) * 0.99999
-    sim = 1.0 - jnp.arccos(jnp.clip(cos, -1.0, 1.0)) / np.pi
+    # clip strictly inside ±1: bf16 matmuls can push self-cosines past 1,
+    # and arccos' diverges at the boundary (clip-grad 0 · inf = NaN)
+    sim = 1.0 - jnp.arccos(jnp.clip(cos, -0.99999, 0.99999)) / np.pi
     pv = valid[:, :, None] * valid[:, None, :]
     return sim * pv
 
@@ -125,7 +127,7 @@ def cross_modal_diag_similarity(x, y, valid, eps: float = 1e-12):
     nx = x / jnp.sqrt(jnp.maximum(jnp.sum(x * x, -1, keepdims=True), eps * eps))
     ny = y / jnp.sqrt(jnp.maximum(jnp.sum(y * y, -1, keepdims=True), eps * eps))
     cos = jnp.sum(nx * ny, -1) * 0.99999
-    sim = 1.0 - jnp.arccos(jnp.clip(cos, -1.0, 1.0)) / np.pi
+    sim = 1.0 - jnp.arccos(jnp.clip(cos, -0.99999, 0.99999)) / np.pi
     return sim * valid
 
 
