@@ -46,6 +46,7 @@ def test_mmin_base_step_and_ema(tmp_path):
 
     p = MMINBaseParams()
     p.dataset = "synthetic-mmin-4"
+    p.max_audio_len = 32
     p.iparams()
     tr = MMINBaseTrainer(p)
     mets = _one_step(tr, tmp_path)
@@ -67,6 +68,7 @@ def test_mmin_miss_step(tmp_path):
 
     p = MMINMissParams()
     p.dataset = "synthetic-mmin-4"
+    p.max_audio_len = 32
     p.iparams()
     tr = MMINMissTrainer(p)
     mets = _one_step(tr, tmp_path)
