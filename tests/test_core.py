@@ -135,3 +135,24 @@ def test_mesh_sharding():
     assert placed["x"].sharding.spec == jax.sharding.PartitionSpec("data")
     assert placed["z"] is None
     np.testing.assert_array_equal(np.asarray(placed["y"]), np.arange(16))
+
+
+def test_debug_flag_shrinks_batches():
+    from erc_tpu.models.base import MMBaseParams
+
+    p = MMBaseParams()
+    p.dataset = "iemocap-cogmen-6"
+    p.from_args(["--debug"])
+    p.iparams()
+    assert p.train.batch_size == 2 and p.test.batch_size == 2
+
+
+def test_mmgcn_reimplement_lr():
+    from erc_tpu.models.mmgcn import MMGCNParams
+
+    p = MMGCNParams()
+    p.dataset = "meld-mmgcn-7"
+    p.reimplement = True
+    p.iparams()
+    assert abs(p.optim.lr - 0.0001) < 1e-12 and p.optim.weight_decay == 0
+    assert p.n_speakers == 9 and p.hidden_text == 600
