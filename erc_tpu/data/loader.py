@@ -23,6 +23,20 @@ from erc_tpu.data.collate import ERCBatcher
 
 
 class DialogueLoader:
+    """Epoch iterator over dialogue samples.
+
+    sort_by_length is a *bucketed* shuffle, not a global sort: the shuffled
+    order is cut into chunks of ``sort_chunk`` batches, each chunk is sorted
+    by dialogue length (padding waste shrinks), and then the resulting batch
+    order is re-shuffled — so the gradient sequence stays fully shuffled
+    like the reference's DataLoader, with no short→long curriculum.
+
+    Multi-host: every process computes the identical global order (shared
+    seed) and takes a strided slice of each batch
+    (``idx[process_index::process_count]``); ``parallel.mesh.shard_batch``
+    then assembles the global batch on device from the per-process shards.
+    """
+
     def __init__(
         self,
         samples: List[dict],
@@ -32,6 +46,9 @@ class DialogueLoader:
         drop_last: bool = False,
         seed: int = 0,
         sort_by_length: bool = False,
+        sort_chunk: int = 8,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.samples = samples
         self.batcher = batcher
@@ -40,7 +57,15 @@ class DialogueLoader:
         self.drop_last = drop_last
         self.rng = RngPool(seed)
         self.sort_by_length = sort_by_length
+        self.sort_chunk = max(int(sort_chunk), 1)
         self.epoch = 0
+        if process_index is None or process_count is None:
+            import jax
+
+            process_index = jax.process_index()
+            process_count = jax.process_count()
+        self.process_index = int(process_index)
+        self.process_count = max(int(process_count), 1)
 
     def __len__(self):
         n = len(self.samples)
@@ -51,28 +76,37 @@ class DialogueLoader:
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
-    def _order(self) -> np.ndarray:
+    def _batch_indices(self) -> List[np.ndarray]:
+        """Global batch index lists for this epoch (same on every process)."""
         n = len(self.samples)
         if self.shuffle:
             order = self.rng.numpy_rng("shuffle", self.epoch).permutation(n)
         else:
             order = np.arange(n)
-        if self.sort_by_length:
-            # stable sort within shuffled order: batches stay random-ish but
-            # similar lengths cluster → smaller padded buckets
+        bs = self.batch_size
+        if self.sort_by_length and n:
+            chunk = bs * self.sort_chunk
             lens = np.array([len(self.samples[i]["label"]) for i in order])
-            order = order[np.argsort(lens, kind="stable")]
-        return order
+            pieces = [
+                order[s : s + chunk][np.argsort(lens[s : s + chunk], kind="stable")]
+                for s in range(0, n, chunk)
+            ]
+            order = np.concatenate(pieces)
+        n_full = n // bs
+        end = n_full * bs if self.drop_last else n
+        batches = [order[s : s + bs] for s in range(0, end, bs)]
+        if self.shuffle and self.sort_by_length and len(batches) > 1:
+            perm = self.rng.numpy_rng("batch_order", self.epoch).permutation(len(batches))
+            batches = [batches[i] for i in perm]
+        return batches
 
     def __iter__(self) -> Iterator[dict]:
-        order = self._order()
-        bs = self.batch_size
-        n_full = len(order) // bs
-        end = n_full * bs if self.drop_last else len(order)
-        for s in range(0, end, bs):
-            idx = order[s : s + bs]
-            batch = self.batcher([self.samples[i] for i in idx])
-            yield batch
+        for idx in self._batch_indices():
+            if self.process_count > 1:
+                # strided per-process slice of the *global* batch; mesh.
+                # shard_batch reassembles via make_array_from_process_local_data
+                idx = idx[self.process_index :: self.process_count]
+            yield self.batcher([self.samples[i] for i in idx])
         self.epoch += 1
 
 
@@ -152,8 +186,9 @@ class PrefetchLoader:
             try:
                 for b in self.loader:
                     q.put(b)
-            finally:
                 q.put(_END)
+            except BaseException as e:  # propagate, never truncate silently
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -161,5 +196,8 @@ class PrefetchLoader:
             item = q.get()
             if item is _END:
                 break
+            if isinstance(item, BaseException):
+                t.join()
+                raise item
             yield item
         t.join()

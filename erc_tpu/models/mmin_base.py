@@ -51,6 +51,8 @@ ParamsType = MMINBaseParams
 
 
 class MMINBaseTrainer(Trainer):
+    plateau_source = "val"  # reference steps on the eval (val) loss, not test
+
     def imodels(self, params: ParamsType):
         self.model = MMINBaseModule(n_classes=params.n_classes)
         self.tx = optim_factory.build_optim(params.optim)
@@ -114,6 +116,17 @@ class MMINBaseTrainer(Trainer):
 
         self._train_step_fn = jax.jit(step_with_ema, donate_argnums=0)
 
+        # eval returns (raw, ema) logits in one dispatch: the reference
+        # evaluates the EMA shadow at every test/eval step and reports Acc2
+        # (mmin_base.py:104-120,158-159)
+        def eval_step_ema(state, batch):
+            variables = {"params": state.params, **state.model_state}
+            raw = self.to_logits(variables, batch)
+            ev = {"params": state.ema_params, **state.model_state}
+            return raw, self.to_logits(ev, batch)
+
+        self._eval_fn = jax.jit(eval_step_ema)
+
     def initialize(self):
         super().initialize()
         if self.params.get("ema", True) and self.state.ema_params is None:
@@ -128,12 +141,28 @@ class MMINBaseTrainer(Trainer):
         return logits
 
     def test_step_collect(self, batch, logits):
+        ema_logits = None
+        if isinstance(logits, tuple):
+            logits, ema_logits = logits
         mask = np.asarray(batch["sample_mask"]) > 0
         labels = np.asarray(batch["label"])
         pred = np.asarray(logits).argmax(-1)
         sel = mask & (labels >= 0)
         self._true.extend(labels[sel].tolist())
         self._pred.extend(pred[sel].tolist())
+        self._collect_nll(logits, labels, sel)
+        if ema_logits is not None:
+            ema_pred = np.asarray(ema_logits).argmax(-1)
+            self._ema_hits += int(((ema_pred == labels) & sel).sum())
+            self._ema_n += int(sel.sum())
+
+    def on_test_begin(self):
+        self._ema_hits, self._ema_n = 0, 0
+
+    def on_test_end(self, res):
+        if self._ema_n:
+            res["Acc2"] = self._ema_hits / self._ema_n
+            self.logger.info(f"EMA Acc2: {res['Acc2']:.5f}")
 
     # -- eval (val split) drives ReduceLROnPlateau (mmin_base.py:171-176) -----
     def evaluate(self):
@@ -141,27 +170,29 @@ class MMINBaseTrainer(Trainer):
         if loader is None:
             loader = self._val_loader = self.make_loader("val")
         rec = Record("eval")
+        hits2 = n2 = 0
         for batch in loader:
             sharded = meshlib.shard_batch(batch, self.mesh)
             logits = self._eval_fn(self.state, sharded)
+            ema_logits = None
+            if isinstance(logits, tuple):
+                logits, ema_logits = logits
             mask = jnp.asarray(sharded["sample_mask"])
             loss = masked_cross_entropy(jnp.asarray(logits), jnp.asarray(sharded["label"]), mask)
             m = Meter()
             m.Lall = loss
+            if ema_logits is not None:
+                sel = np.asarray(mask) > 0
+                labels = np.asarray(sharded["label"])
+                hits2 += int(((np.asarray(ema_logits).argmax(-1) == labels) & sel).sum())
+                n2 += int(sel.sum())
             rec.record(m)
         l = rec.agg().get("Lall")
-        if l is not None:
-            from erc_tpu.train.optim import get_learning_rate, set_learning_rate
-
-            cur = get_learning_rate(self.state.opt_state)
-            if cur is not None:
-                new = self.lr_sche.step(float(l), cur)
-                if new != cur:
-                    self.logger.info(f"ReduceLROnPlateau: lr {cur} -> {new}")
-                    self.state = self.state.replace(
-                        opt_state=set_learning_rate(self.state.opt_state, new)
-                    )
-        self.logger.info(f"Evaluate Loss: {l}")
+        self._plateau_step(l)
+        if n2:
+            self.logger.info(f"Evaluate Loss: {l} | EMA Acc2: {hits2 / n2:.5f}")
+        else:
+            self.logger.info(f"Evaluate Loss: {l}")
         return l
 
     def on_train_epoch_end(self, eidx, record):

@@ -46,7 +46,7 @@ class EpochCheckpoint(Callback):
 
     def train_epoch_end(self, tr, eidx, record):
         if (eidx + 1) % self.per_epoch == 0:
-            tr.save_checkpoint()
+            tr.save_checkpoint(epoch_end=True)
 
 
 class GlobalStepCheckpoint(Callback):
@@ -91,7 +91,12 @@ class AutoLoadModel(Callback):
 
 
 class AutoResume(Callback):
-    """Resume from the latest checkpoint if one exists (preemption-safe)."""
+    """Resume from the latest checkpoint if one exists (preemption-safe).
+
+    Restores BOTH counters: global_steps (so dropout fold_in keys and new
+    checkpoint step numbers continue instead of restarting at 0) and eidx
+    (the train loop starts its epoch range there; epoch-end checkpoints
+    resume at eidx+1, mid-epoch ones re-run the interrupted epoch)."""
 
     def train_begin(self, tr):
         latest = tr.saver.latest_checkpoint()
@@ -100,8 +105,15 @@ class AutoResume(Callback):
             meta_path = latest + ".json"
             if os.path.exists(meta_path):
                 with open(meta_path) as f:
-                    tr.eidx = json.load(f).get("eidx", tr.eidx)
-            tr.logger.info(f"auto-resumed from {latest}")
+                    meta = json.load(f)
+                tr.eidx = int(meta.get("eidx", tr.eidx)) + (
+                    1 if meta.get("epoch_end") else 0
+                )
+                tr.global_steps = int(meta.get("global_steps", tr.global_steps))
+            tr.logger.info(
+                f"auto-resumed from {latest} (eidx={tr.eidx}, "
+                f"global_steps={tr.global_steps})"
+            )
 
 
 class NaNGuard(Callback):

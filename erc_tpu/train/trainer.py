@@ -57,6 +57,14 @@ def _stack_batches(batches: List[dict]) -> dict:
     return out
 
 
+def _batch_shape_key(batch: dict) -> tuple:
+    """Shape signature used to group stackable batches (length buckets can
+    make consecutive batches differ in L; np.stack would raise)."""
+    return tuple(
+        (k, tuple(np.asarray(v).shape)) for k, v in sorted(batch.items()) if v is not None
+    )
+
+
 def masked_cross_entropy(logits, labels, mask, class_weights=None):
     """Mean CE over valid positions == F.cross_entropy on mask-selected nodes.
 
@@ -147,9 +155,12 @@ class Trainer:
         if batch_size is not None:
             # pad the batch dim to a multiple of the data axis so every
             # batch (incl. the last partial one) shards evenly; padded
-            # dialogues have attention_mask == 0 and drop out of loss/metrics
+            # dialogues have attention_mask == 0 and drop out of loss/metrics.
+            # Multi-host: the loader yields per-process strided slices, so
+            # each process pads to its 1/process_count share of the global pad
             data_axis = self.mesh.devices.shape[0]
             pad_to = -(-int(batch_size) // data_axis) * data_axis
+            pad_to //= max(jax.process_count(), 1)
         return ERCBatcher(
             modality=p.modality,
             n_classes=p.n_classes,
@@ -277,6 +288,7 @@ class Trainer:
             shuffle=(split == "train"),
             seed=p.seed,
             sort_by_length=bool(p.get("sort_by_length", True)),
+            sort_chunk=int(p.get("sort_chunk", 8)),
         )
         if p.get("prefetch", True):
             from erc_tpu.data.loader import PrefetchLoader
@@ -337,8 +349,11 @@ class Trainer:
         train_loader = self.make_loader("train")
         self._fire("train_begin")
         try:
-            for eidx in range(int(p.epoch)):
+            # start at self.eidx so AutoResume continues instead of
+            # re-training every epoch on top of the loaded weights
+            for eidx in range(self.eidx, int(p.epoch)):
                 self.eidx = eidx
+                train_loader.set_epoch(eidx)
                 record = Record("train")
                 self._fire("train_epoch_begin", eidx)
                 t0 = time.time()
@@ -373,6 +388,15 @@ class Trainer:
                     return mets
 
                 for bidx, batch in enumerate(train_loader):
+                    # flush early if this batch's shapes differ from the
+                    # group's (length buckets → un-stackable batches)
+                    if group and _batch_shape_key(batch) != _batch_shape_key(group[0]):
+                        mets = run_group(group)
+                        m = Meter()
+                        m.update(mets)
+                        record.record(m)
+                        self._fire("train_step_end", bidx, mets)
+                        group = []
                     group.append(batch)
                     if len(group) < spc:
                         continue
@@ -417,6 +441,21 @@ class Trainer:
         self.exp.record_end(ok=True)
 
     # ------------------------------------------------------------------ eval
+    plateau_source = "test"  # which stage's loss drives lr_sche (mmin: "val")
+
+    def _collect_nll(self, logits, labels, sel) -> None:
+        """Accumulate masked CE (host-side, stable log-softmax) so test()
+        can report Lall and drive ReduceLROnPlateau (dagerc.py:212)."""
+        lg = np.asarray(logits, np.float32)[sel]
+        if lg.size == 0:
+            return
+        lab = np.asarray(labels)[sel]
+        m = lg.max(-1, keepdims=True)
+        lse = m[:, 0] + np.log(np.exp(lg - m).sum(-1))
+        nll = lse - lg[np.arange(len(lab)), lab]
+        self._nll_sum += float(nll.sum())
+        self._nll_n += int(len(lab))
+
     def test_step_collect(self, batch, logits) -> None:
         """Gather masked predictions on host (mmbase.py:186-194)."""
         mask = np.asarray(batch["attention_mask"]) > 0
@@ -425,6 +464,25 @@ class Trainer:
         sel = mask & (labels >= 0)
         self._true.extend(labels[sel].tolist())
         self._pred.extend(pred[sel].tolist())
+        self._collect_nll(logits, labels, sel)
+
+    def _plateau_step(self, loss: float) -> None:
+        """Step an optional ReduceLROnPlateau (subclasses set self.lr_sche)
+        and inject the new LR into the live opt_state."""
+        sche = getattr(self, "lr_sche", None)
+        if sche is None or loss is None or not self.params.get("lr_plateau", True):
+            return
+        from erc_tpu.train.optim import get_learning_rate, set_learning_rate
+
+        cur = get_learning_rate(self.state.opt_state)
+        if cur is None:
+            return
+        new = sche.step(float(loss), cur)
+        if new != cur:
+            self.logger.info(f"ReduceLROnPlateau: lr {cur} -> {new}")
+            self.state = self.state.replace(
+                opt_state=set_learning_rate(self.state.opt_state, new)
+            )
 
     def test(self) -> Dict[str, Any]:
         p = self.params
@@ -435,12 +493,14 @@ class Trainer:
         if loader is None:
             loader = self._test_loader = self.make_loader("test")
         self._true, self._pred = [], []
+        self._nll_sum, self._nll_n = 0.0, 0
         self._fire("test_begin")
         record = Record("test")
         for batch in loader:
             sharded = meshlib.shard_batch(batch, self.mesh)
             logits = self._eval_fn(self.state, sharded)
             self.test_step_collect(batch, logits)
+        test_loss = self._nll_sum / max(self._nll_n, 1)
         res = {}
         if len(self._true) and p.get("confusion_matrix", True):
             res = metrics_mod.classification_summary(self._true, self._pred, p.n_classes)
@@ -456,12 +516,19 @@ class Trainer:
                         {k: res[k] for k in ("acc", "wa", "mif1", "maf1")}, compare="max"
                     )
                 )
-            self.metric_board.append({**res, "cm": cm}, step=self.eidx, stage="test")
+            self.metric_board.append(
+                {**res, "Lall": test_loss, "cm": cm}, step=self.eidx, stage="test"
+            )
+            # flush per test: a mid-run crash must not drop board rows
+            self.metric_board.flush()
             self.logger.info("Best Results", m)
             self.pred_info.append([self._true, self._pred])
             self.pred_info.flush()
             if res["f1"] >= float(self.database.todict().get("f1", 0.0)):
                 self.save_model("best", is_best=True)
+        res["Lall"] = test_loss
+        if self.plateau_source == "test":
+            self._plateau_step(test_loss if self._nll_n else None)
         self._fire("test_end", res)
         return res
 
@@ -477,10 +544,14 @@ class Trainer:
             is_best=is_best,
         )
 
-    def save_checkpoint(self, is_best: bool = False) -> str:
+    def save_checkpoint(self, is_best: bool = False, epoch_end: bool = False) -> str:
+        """Rotating checkpoint; meta records both counters so AutoResume can
+        restore them (epoch_end=True → resume at eidx+1)."""
         return self.saver.save_checkpoint(
             self.global_steps, self._state_tree(),
-            meta={"eidx": self.eidx}, is_best=is_best,
+            meta={"eidx": self.eidx, "global_steps": self.global_steps,
+                  "epoch_end": bool(epoch_end)},
+            is_best=is_best,
         )
 
     def load_checkpoint(self, path: Optional[str] = None):

@@ -49,6 +49,10 @@ def test_epoch_checkpoint_and_auto_resume(tmp_path):
     from erc_tpu.train.callbacks import AutoResume
 
     AutoResume().train_begin(tr2)
+    # counters restored: epoch-end checkpoint → resume at eidx+1; step
+    # counter continues so new checkpoints outnumber old ones
+    assert tr2.eidx == tr.eidx + 1
+    assert tr2.global_steps == tr.global_steps
     import jax
 
     a = jax.tree_util.tree_leaves(

@@ -58,6 +58,20 @@ def test_mmin_base_step_and_ema(tmp_path):
     )
     mx = max(jax.tree_util.tree_leaves(diffs))
     assert 0 < mx < 1e-1
+    # EMA shadow participates in eval: _eval_fn returns (raw, ema) logits
+    # and test reports Acc2 (reference mmin_base.py:104-120)
+    from erc_tpu.parallel import mesh as meshlib
+
+    batch = tr.example_batch(B=8)
+    sharded = meshlib.shard_batch(batch, tr.mesh)
+    out = tr._eval_fn(tr.state, sharded)
+    assert isinstance(out, tuple) and len(out) == 2
+    tr.on_test_begin()
+    tr._true, tr._pred, tr._nll_sum, tr._nll_n = [], [], 0.0, 0
+    tr.test_step_collect(batch, tuple(np.asarray(x) for x in out))
+    res = {}
+    tr.on_test_end(res)
+    assert "Acc2" in res and 0.0 <= res["Acc2"] <= 1.0
 
 
 def test_mmin_miss_step(tmp_path):
