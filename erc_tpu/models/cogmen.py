@@ -10,11 +10,13 @@ RGCN/TransformerConv run as batched [B, L, L] message passing (ops.gnn).
 
 Reference parity notes:
 - head search: first h in [6, num_heads) dividing input_size (cogmen.py:87-92)
-- the reference's encoder loop (cogmen.py:146-147) accidentally discards
-  the transformer output (applies each module to the *original* input);
-  we implement the chained architecture the paper/upstream intended.
-- parity target (reference docstring cogmen.py:6-14): wF1 0.8113 on
-  iemocap-cogmen-4, 0.6112 on iemocap-cogmen-6.
+- encoder_mode: the reference's encoder loop (cogmen.py:146-147) applies
+  each module of self.rnn to the *original* input, so the transformer
+  output is discarded and node features are Linear(input).  The measured
+  parity numbers (wF1 0.8113/0.6112, cogmen.py:6-14) were produced with
+  that behavior, so ``encoder_mode='reference'`` (the default) reproduces
+  it exactly; ``encoder_mode='chained'`` runs the transformer → linear
+  pipeline the paper/upstream intended.
 """
 
 from __future__ import annotations
@@ -50,6 +52,7 @@ class COGMENParams(MMBaseParams):
         self.hidden_size = 100
         self.drop_rate = 0.5
         self.graph_impl = self.choice("auto", "dense", "banded")
+        self.encoder_mode = self.choice("reference", "chained")
 
 
 ParamsType = COGMENParams
@@ -113,6 +116,7 @@ class COGMENModule(nn.Module):
     wf: int = 5
     drop_rate: float = 0.5
     graph_impl: str = "banded"
+    encoder_mode: str = "reference"
 
     @nn.compact
     def __call__(self, batch, deterministic: bool = True):
@@ -122,10 +126,16 @@ class COGMENModule(nn.Module):
         lengths = batch["text_length"]
         L = x.shape[1]
 
-        nhead = pick_num_heads(self.input_size, self.num_head)
-        h = TransformerEncoder(
-            self.input_size, nhead, num_layers=2, dropout=self.drop_rate, name="encoder"
-        )(x, key_padding_mask=mask, deterministic=deterministic)
+        if self.encoder_mode == "chained":
+            nhead = pick_num_heads(self.input_size, self.num_head)
+            h = TransformerEncoder(
+                self.input_size, nhead, num_layers=2, dropout=self.drop_rate, name="encoder"
+            )(x, key_padding_mask=mask, deterministic=deterministic)
+        else:
+            # reference: `for mod in self.rnn: node_features = mod(input_tensor)`
+            # (cogmen.py:146-147) — each applied to the ORIGINAL input, so
+            # only the final Linear survives
+            h = x
         h = nn.Dense(self.hidden_size, name="transformer_out")(h)
 
         g = GNN(
@@ -153,6 +163,7 @@ class COGMENTrainer(Trainer):
             wf=params.wf,
             drop_rate=params.drop_rate,
             graph_impl=params.graph_impl,
+            encoder_mode=params.get("encoder_mode", "reference"),
         )
         self.tx = optim_factory.build_optim(params.optim)
 

@@ -1,0 +1,461 @@
+"""Whole-model numerical parity: flax forward+loss vs a plain-torch replica
+of the reference graph (VERDICT r1 item 2).
+
+For each model family a hand-rolled torch implementation reproduces the
+*reference's* forward exactly — flat per-dialogue node lists, edge-list
+message passing with the specific PyG versions' math (RGCNConv mean-aggr
+for COGMEN [PyG 2.x], add-aggr basis-decomposition + edge_norm for DGCN
+[vendored PyG 1.4.2, models/rgcn.py:264-355], TransformerConv gating,
+GCNII_lyc [mmgcn_models.py:8-39,344-394], GRUCell pairs + GAT
+[dagerc_models.py:312-365]) — then one set of weights is ported flax→torch
+and logits/loss must agree to ≤1e-4 on masked varied-length batches.
+
+MMGCN note: the reference's lstm_l is an *unpacked* LSTM over the padded
+batch (mmgcn.py:69,115), so its backward direction consumes padding and its
+valid-position outputs depend on batch composition; the flax BiRNN uses
+packed (masked) semantics.  The MMGCN case therefore uses equal-length
+dialogues, where packed == unpacked and everything else (adjacency, 64-deep
+GCNII, speaker embedding, fusion head) is compared exactly.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+torch.set_grad_enabled(False)
+torch.manual_seed(0)
+
+ATOL = 1e-4
+RTOL = 1e-4
+
+
+# --------------------------------------------------------------------- data
+def erc_batch(n_classes=4, dims=(7, 9, 11), lens=(5, 8, 3), seed=0):
+    from erc_tpu.data.collate import ERCBatcher
+
+    rng = np.random.default_rng(seed)
+    da, dt, dv = dims
+    samples = []
+    for ln in lens:
+        samples.append(
+            {
+                "audio": rng.normal(size=(ln, da)).astype(np.float32),
+                "text": rng.normal(size=(ln, dt)).astype(np.float32),
+                "visual": rng.normal(size=(ln, dv)).astype(np.float32),
+                "label": rng.integers(0, n_classes, size=ln).tolist(),
+                "speakers": rng.integers(0, 2, size=ln).tolist(),
+            }
+        )
+    L = max(lens)
+    batch = ERCBatcher(
+        modality="atv", n_classes=n_classes, n_speakers=2, bucket=0, max_len=L
+    )(samples)
+    return batch, samples
+
+
+def t_(x):
+    return torch.from_numpy(np.array(x, np.float32, copy=True))
+
+
+def flax_loss(logits, batch, class_weights=None):
+    import jax.numpy as jnp
+
+    from erc_tpu.train.trainer import masked_cross_entropy
+
+    cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
+    return float(
+        masked_cross_entropy(
+            jnp.asarray(logits), jnp.asarray(batch["label"]), jnp.asarray(batch["attention_mask"]), cw
+        )
+    )
+
+
+def valid_rows(arr, lens):
+    """Select valid [sum(l), ...] rows from padded [B, L, ...]."""
+    return np.concatenate([np.asarray(arr)[i, :l] for i, l in enumerate(lens)], 0)
+
+
+def edge_perms(length, wp, wf):
+    """Reference edge_perms semantics (cogmen_utils.py:147-172): (u, v) with
+    v in [u-wp, u+wf] clipped; -1 = unbounded."""
+    out = []
+    for u in range(length):
+        lo = 0 if wp == -1 else max(0, u - wp)
+        hi = length if wf == -1 else min(length, u + wf + 1)
+        out.extend((u, v) for v in range(lo, hi))
+    return out
+
+
+def rel_id(su, sv, u, v, S):
+    # edge_type_to_idx["{su}{sv}{c}"], c=0 if u<v else 1, insertion order
+    # "jk0","jk1" (cogmen.py:124-129)
+    return 2 * (su * S + sv) + (0 if u < v else 1)
+
+
+# ------------------------------------------------------------ torch oracles
+def torch_rgcn_mean(h, edges, rels, weights, root, bias, R):
+    """PyG 2.x RGCNConv: out_v = root·x_v + b + Σ_r mean_{u∈N_r(v)} W_r x_u."""
+    n = h.shape[0]
+    out = h @ t_(root) + t_(bias)
+    W = t_(weights)  # [R, D, D']
+    for r in range(R):
+        acc = torch.zeros(n, W.shape[-1])
+        cnt = torch.zeros(n)
+        for (u, v), er in zip(edges, rels):
+            if er == r:
+                acc[v] += h[u] @ W[r]
+                cnt[v] += 1
+        out += acc / cnt.clamp(min=1.0).unsqueeze(-1)
+    return out
+
+
+def torch_transformer_conv(h, edges, p):
+    """PyG TransformerConv heads=1: α over incoming edges of v."""
+    q = h @ t_(p["lin_query"]["kernel"]) + t_(p["lin_query"]["bias"])
+    k = h @ t_(p["lin_key"]["kernel"]) + t_(p["lin_key"]["bias"])
+    v_ = h @ t_(p["lin_value"]["kernel"]) + t_(p["lin_value"]["bias"])
+    skip = h @ t_(p["lin_skip"]["kernel"]) + t_(p["lin_skip"]["bias"])
+    d = q.shape[-1]
+    out = skip.clone()
+    by_target = {}
+    for u, v in edges:
+        by_target.setdefault(v, []).append(u)
+    for v, srcs in by_target.items():
+        scores = torch.stack([q[v] @ k[u] for u in srcs]) / np.sqrt(d)
+        alpha = torch.softmax(scores, 0)
+        out[v] += sum(a * v_[u] for a, u in zip(alpha, srcs))
+    return out
+
+
+def torch_bn_eval(x, scale, bias, eps=1e-5):
+    """BatchNorm1d.eval() with fresh running stats (mean 0, var 1)."""
+    return x / np.sqrt(1.0 + eps) * t_(scale) + t_(bias)
+
+
+# ================================================================== COGMEN
+def test_cogmen_forward_loss_parity():
+    import jax
+
+    from erc_tpu.models.cogmen import COGMENModule
+
+    n_classes, S, wp, wf = 4, 2, 5, 5
+    batch, samples = erc_batch(n_classes=n_classes)
+    lens = [len(s["label"]) for s in samples]
+    Din = batch["input_tensor"].shape[-1]
+
+    model = COGMENModule(
+        input_size=Din, hidden_size=16, num_head=17, n_speakers=S,
+        n_classes=n_classes, wp=wp, wf=wf, graph_impl="dense",
+        encoder_mode="reference",
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, deterministic=True,
+    )
+    logits = np.asarray(model.apply(variables, batch, deterministic=True))
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    # ---- torch replica (reference cogmen.py:61-74,138-160, encoder loop
+    # applies each module to the original input → Linear only)
+    x = t_(valid_rows(batch["input_tensor"], lens))
+    h = x @ t_(p["transformer_out"]["kernel"]) + t_(p["transformer_out"]["bias"])
+
+    edges, rels = [], []
+    off = 0
+    for d, ln in enumerate(lens):
+        spk = np.asarray(batch["speaker_ids"])[d]
+        for u, v in edge_perms(ln, wp, wf):
+            edges.append((u + off, v + off))
+            rels.append(rel_id(spk[u], spk[v], u, v, S))
+        off += ln
+
+    g = torch_rgcn_mean(
+        h, edges, rels, p["gcn"]["conv1"]["weight"], p["gcn"]["conv1"]["root"],
+        p["gcn"]["conv1"]["bias"], R=2 * S * S,
+    )
+    g = torch_transformer_conv(g, edges, p["gcn"]["conv2"])
+    g = torch_bn_eval(g, p["gcn"]["bn"]["scale"], p["gcn"]["bn"]["bias"])
+    g = F.leaky_relu(g, 0.01)
+    out = torch.relu(g @ t_(p["cls_0"]["kernel"]) + t_(p["cls_0"]["bias"]))
+    ref_logits = out @ t_(p["cls_1"]["kernel"]) + t_(p["cls_1"]["bias"])
+
+    got = valid_rows(logits, lens)
+    np.testing.assert_allclose(got, ref_logits.numpy(), atol=ATOL, rtol=RTOL)
+
+    labels = valid_rows(np.asarray(batch["label"])[..., None], lens)[:, 0]
+    ref_loss = float(F.cross_entropy(ref_logits, torch.from_numpy(labels).long()))
+    assert flax_loss(logits, batch) == pytest.approx(ref_loss, abs=ATOL)
+
+
+# ==================================================================== DGCN
+def test_dgcn_forward_loss_parity():
+    import jax
+
+    from erc_tpu.models.dgcn import DGCNModule, IEMOCAP6_LOSS_WEIGHTS
+
+    n_classes, S, wp, wf, hidden = 6, 2, 10, 10, 16
+    batch, samples = erc_batch(n_classes=n_classes)
+    lens = [len(s["label"]) for s in samples]
+    Din = batch["input_tensor"].shape[-1]
+
+    model = DGCNModule(
+        input_size=Din, hidden_size=hidden, n_speakers=S, wp=wp, wf=wf,
+        n_classes=n_classes, graph_impl="dense",
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, deterministic=True,
+    )
+    logits = np.asarray(model.apply(variables, batch, deterministic=True))
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    # ---- SeqContext: packed 2-layer biLSTM (dgcn_models.py:10-33)
+    lstm = torch.nn.LSTM(Din, hidden // 2, num_layers=2, bidirectional=True,
+                         batch_first=True, dropout=0.4).eval()
+    for layer in range(2):
+        for rev in ("", "_reverse"):
+            for nm in ("w_ih", "w_hh", "b_ih", "b_hh"):
+                src = t_(p["rnn"][f"{nm}_l{layer}{rev}"])
+                tgt = f"{'weight' if nm.startswith('w') else 'bias'}_{nm[2:]}_l{layer}{rev}"
+                getattr(lstm, tgt).copy_(src)
+    packed = torch.nn.utils.rnn.pack_padded_sequence(
+        t_(batch["input_tensor"]), torch.tensor(lens), batch_first=True,
+        enforce_sorted=False,
+    )
+    feats_pad, _ = torch.nn.utils.rnn.pad_packed_sequence(
+        lstm(packed)[0], batch_first=True, total_length=batch["input_tensor"].shape[1]
+    )
+    feats = t_(valid_rows(feats_pad.numpy(), lens))
+
+    # ---- EdgeAtt per-node windowed softmax (dgcn_models.py:121-152)
+    W_att = t_(p["edge_att"]["weight"])  # used as x @ W.T in flax == (W x) rows
+    alphas = []  # per dialogue [L, L]
+    for d, ln in enumerate(lens):
+        xd = feats_pad[d]
+        wx = xd @ W_att.T
+        a = torch.zeros(ln, ln)
+        for j in range(ln):
+            s0, e0 = max(0, j - wp), min(ln - 1, j + wf)
+            score = wx[s0 : e0 + 1] @ xd[j]
+            a[j, s0 : e0 + 1] = torch.softmax(score, 0)
+        alphas.append(a)
+
+    edges, rels, norms = [], [], []
+    off = 0
+    for d, ln in enumerate(lens):
+        spk = np.asarray(batch["speaker_ids"])[d]
+        for u, v in edge_perms(ln, wp, wf):
+            edges.append((u + off, v + off))
+            rels.append(rel_id(spk[u], spk[v], u, v, S))
+            norms.append(float(alphas[d][u, v]))
+        off += ln
+
+    # ---- vendored PyG-1.4.2 RGCNConv: add-aggr, basis decomposition,
+    # message · edge_norm (models/rgcn.py:324-355)
+    c1 = p["conv1"]
+    W = torch.einsum("rb,bde->rde", t_(c1["att"]), t_(c1["basis"]))
+    n = feats.shape[0]
+    g = feats @ t_(c1["root"]) + t_(c1["bias"])
+    for (u, v), r, nr in zip(edges, rels, norms):
+        g[v] += nr * (feats[u] @ W[r])
+
+    # ---- GraphConv add-aggr: lin_rel(Σ_u x_u) + lin_root(x_v)
+    agg = torch.zeros(n, g.shape[-1])
+    for u, v in edges:
+        agg[v] += g[u]
+    c2 = p["conv2"]
+    g2 = (
+        agg @ t_(c2["lin_rel"]["kernel"]) + t_(c2["lin_rel"]["bias"])
+        + g @ t_(c2["lin_root"]["kernel"]) + t_(c2["lin_root"]["bias"])
+    )
+
+    h = torch.cat([feats, g2], -1)
+    h = torch.relu(h @ t_(p["clf_lin1"]["kernel"]) + t_(p["clf_lin1"]["bias"]))
+    ref_logits = h @ t_(p["clf_lin2"]["kernel"]) + t_(p["clf_lin2"]["bias"])
+
+    got = valid_rows(logits, lens)
+    np.testing.assert_allclose(got, ref_logits.numpy(), atol=ATOL, rtol=RTOL)
+
+    # class-weighted loss (dgcn.py:108-124 semantics)
+    labels = valid_rows(np.asarray(batch["label"])[..., None], lens)[:, 0]
+    w = torch.tensor(IEMOCAP6_LOSS_WEIGHTS, dtype=torch.float32)
+    ref_loss = float(F.cross_entropy(ref_logits, torch.from_numpy(labels).long(), weight=w))
+    assert flax_loss(logits, batch, IEMOCAP6_LOSS_WEIGHTS) == pytest.approx(ref_loss, abs=ATOL)
+
+
+# =================================================================== MMGCN
+def test_mmgcn_forward_loss_parity():
+    import jax
+
+    from erc_tpu.models.mmgcn import MMGCNModule
+
+    n_classes, S, nlayers, nh, n_dim = 4, 2, 6, 24, 200
+    # equal lengths: reference lstm_l is unpacked (see module docstring)
+    batch, samples = erc_batch(n_classes=n_classes, lens=(6, 6, 6))
+    lens = [len(s["label"]) for s in samples]
+
+    model = MMGCNModule(
+        n_speakers=S, n_classes=n_classes, modals="atv", n_dim=n_dim,
+        graph_hidden_size=nh, gcn_layers=nlayers, adj_impl="dense",
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, deterministic=True,
+    )
+    logits = np.asarray(model.apply(variables, batch, deterministic=True))
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    # ---- per-modality encoders (mmgcn.py:96-122)
+    a = t_(batch["audio_feature"]) @ t_(p["linear_a"]["kernel"]) + t_(p["linear_a"]["bias"])
+    v = t_(batch["visual_feature"]) @ t_(p["linear_v"]["kernel"]) + t_(p["linear_v"]["bias"])
+    l0 = t_(batch["text_feature"]) @ t_(p["linear_l"]["kernel"]) + t_(p["linear_l"]["bias"])
+    lstm = torch.nn.LSTM(n_dim, 100, num_layers=2, bidirectional=True,
+                         batch_first=True, dropout=0.4).eval()
+    for layer in range(2):
+        for rev in ("", "_reverse"):
+            for nm in ("w_ih", "w_hh", "b_ih", "b_hh"):
+                src = t_(p["lstm_l"][f"{nm}_l{layer}{rev}"])
+                tgt = f"{'weight' if nm.startswith('w') else 'bias'}_{nm[2:]}_l{layer}{rev}"
+                getattr(lstm, tgt).copy_(src)
+    l = lstm(l0)[0]  # unpacked; equal lengths → same as packed
+    spk = torch.from_numpy(np.asarray(batch["speaker_ids"])).long()
+    l = l + t_(p["speaker_embeddings"]["embedding"])[spk]
+
+    fa, fv, fl = (t_(valid_rows(m.numpy(), lens)) for m in (a, v, l))
+    N = fa.shape[0]
+
+    # ---- create_big_adj (mmgcn_models.py:582-646): per-dialogue blocks
+    adj = torch.zeros(3 * N, 3 * N)
+    feats = [fa, fv, fl]
+    start = 0
+    for ln in lens:
+        for m in range(3):
+            for nn_ in range(3):
+                ms, ns = start + N * m, start + N * nn_
+                if m == nn_:
+                    x = feats[m][start : start + ln]
+                    xn = x / x.norm(dim=1, keepdim=True)
+                    cs = (xn @ xn.T) * 0.99999
+                    adj[ms : ms + ln, ns : ns + ln] = 1 - torch.acos(cs) / np.pi
+                else:
+                    x1 = feats[m][start : start + ln]
+                    x2 = feats[nn_][start : start + ln]
+                    cs = ((x1 / x1.norm(dim=1, keepdim=True))
+                          * (x2 / x2.norm(dim=1, keepdim=True))).sum(1) * 0.99999
+                    sim = 1 - torch.acos(cs) / np.pi
+                    for i in range(ln):
+                        adj[ms + i, ns + i] = sim[i]
+        start += ln
+    d = adj.sum(1)
+    dinv = torch.where(d > 0, d.pow(-0.5), torch.zeros_like(d))
+    adj = dinv[:, None] * adj * dinv[None, :]
+
+    # ---- GCNII_lyc variant=True, return_feature, use_residue
+    # (mmgcn_models.py:8-39,373-394)
+    x = torch.cat([fa, fv, fl], 0)
+    h0 = torch.relu(x @ t_(p["fc0"]["kernel"]) + t_(p["fc0"]["bias"]))
+    Ws = t_(p["gcnii"]["convs"])  # [nlayers, 2nh, nh]
+    h = h0
+    for i in range(nlayers):
+        theta = np.log(0.5 / (i + 1) + 1)
+        hi = adj @ h
+        support = torch.cat([hi, h0], 1)
+        r = 0.9 * hi + 0.1 * h0
+        h = torch.relu(theta * (support @ Ws[i]) + (1 - theta) * r)
+    h = torch.cat([x, h], -1)
+    feat = torch.cat([h[:N], h[N : 2 * N], h[2 * N :]], -1)
+    feat = torch.relu(feat)
+    ref_logits = feat @ t_(p["smax_fc"]["kernel"]) + t_(p["smax_fc"]["bias"])
+
+    got = valid_rows(logits, lens)
+    np.testing.assert_allclose(got, ref_logits.numpy(), atol=2e-4, rtol=RTOL)
+
+    labels = valid_rows(np.asarray(batch["label"])[..., None], lens)[:, 0]
+    ref_loss = float(F.cross_entropy(ref_logits, torch.from_numpy(labels).long()))
+    assert flax_loss(logits, batch) == pytest.approx(ref_loss, abs=2e-4)
+
+
+# ================================================================= DAG-ERC
+def test_dagerc_forward_loss_parity():
+    import jax
+
+    from erc_tpu.models.dagerc import DAGERCModule
+
+    n_classes, layers, D, windowp = 4, 2, 12, 1
+    batch, samples = erc_batch(n_classes=n_classes)
+    lens = [len(s["label"]) for s in samples]
+    Din = batch["input_tensor"].shape[-1]
+
+    model = DAGERCModule(
+        emb_dim=Din, n_classes=n_classes, gnn_layers=layers, hidden_dim=D,
+        windowp=windowp, drop_rate=0.0,
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, deterministic=True,
+    )
+    logits = np.asarray(model.apply(variables, batch, deterministic=True))
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    def gru(cell_p, prefix, x, h):
+        c = torch.nn.GRUCell(x.shape[-1], D)
+        c.weight_ih.copy_(t_(cell_p[f"{prefix}_w_ih"]))
+        c.weight_hh.copy_(t_(cell_p[f"{prefix}_w_hh"]))
+        c.bias_ih.copy_(t_(cell_p[f"{prefix}_b_ih"]))
+        c.bias_hh.copy_(t_(cell_p[f"{prefix}_b_hh"]))
+        return c(x, h)
+
+    ref_rows = []
+    for d, ln in enumerate(lens):
+        spk = np.asarray(batch["speaker_ids"])[d][:ln]
+        x = t_(np.asarray(batch["input_tensor"])[d, :ln])[None]  # [1, ln, Din]
+        # get_adj_v1 / get_s_mask (dagerc.py:109-154)
+        adj = torch.zeros(ln, ln)
+        for i in range(ln):
+            cnt = 0
+            for j in range(i - 1, -1, -1):
+                adj[i, j] = 1
+                if spk[j] == spk[i]:
+                    cnt += 1
+                    if cnt == windowp:
+                        break
+        smask = torch.from_numpy((spk[:, None] == spk[None, :]).astype(np.float32))
+
+        H0 = torch.relu(
+            x @ t_(p["fc1"]["kernel"]) + t_(p["fc1"]["bias"])
+        )[0]  # [ln, D]
+        Hs = [H0]
+        for lidx in range(layers):
+            lp = p[f"layer_{lidx}"]
+            Hl = Hs[-1]
+            C = gru(lp, "gru_c", Hl[0:1], None)
+            P = gru(lp, "gru_p", torch.zeros(1, D), Hl[0:1])
+            H1 = C + P  # [1, D]
+            for i in range(1, ln):
+                # GAT_dialoggcn_v1 (dagerc_models.py:312-365)
+                Q = Hl[i : i + 1].expand(i, -1)
+                X = torch.cat([Q, H1], 1)
+                alpha = X @ t_(lp["att_w"]) + t_(lp["att_b"])  # [i, 1]
+                alpha = alpha[:, 0] + (adj[i, :i] - 1) * 1e30
+                attn = torch.softmax(alpha, 0)
+                V0 = H1 @ t_(lp["Wr0"]).T
+                V1 = H1 @ t_(lp["Wr1"]).T
+                Vsel = V0 * smask[i, :i, None] + V1 * (1 - smask[i, :i, None])
+                M = (attn[:, None] * Vsel).sum(0, keepdim=True)
+                C = gru(lp, "gru_c", Hl[i : i + 1], M)
+                P = gru(lp, "gru_p", M, Hl[i : i + 1])
+                H1 = torch.cat([H1, C + P], 0)
+            Hs.append(H1)
+        H = torch.cat(Hs + [x[0]], 1)
+        h = torch.relu(H @ t_(p["out_0"]["kernel"]) + t_(p["out_0"]["bias"]))
+        h = torch.relu(h @ t_(p["out_1"]["kernel"]) + t_(p["out_1"]["bias"]))
+        ref_rows.append(h @ t_(p["out_2"]["kernel"]) + t_(p["out_2"]["bias"]))
+    ref_logits = torch.cat(ref_rows, 0)
+
+    got = valid_rows(logits, lens)
+    np.testing.assert_allclose(got, ref_logits.numpy(), atol=ATOL, rtol=RTOL)
+
+    labels = valid_rows(np.asarray(batch["label"])[..., None], lens)[:, 0]
+    ref_loss = float(F.cross_entropy(ref_logits, torch.from_numpy(labels).long()))
+    assert flax_loss(logits, batch) == pytest.approx(ref_loss, abs=ATOL)
