@@ -1,25 +1,67 @@
-"""Benchmark harness: training throughput of the flagship model (COGMEN)
-on IEMOCAP-shaped dialogues, single chip.
+"""Benchmark harness: training + eval throughput of the ERC model zoo on
+one chip, with MFU from XLA's own cost analysis.
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Default mode prints ONE JSON line for the driver:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+where ``vs_baseline`` divides by a torch-CPU reference throughput that is
+re-measured at runtime (``--baseline-steps``; fall back to the recorded
+constant with ``--no-measure-baseline``).
 
-Baseline: the reference publishes no throughput numbers (BASELINE.md), so
-the bar is the reference implementation's measured torch-CPU training
-throughput on identical synthetic data (see ``--measure-baseline``, which
-runs a faithful torch reimplementation of the COGMEN step).  The recorded
-constant below was measured in this container.
+``--matrix`` benches every registry model × graph implementation
+(dense / banded Pallas / structured) for train and eval and writes
+BENCH_MATRIX.md.
+
+Baseline provenance: the reference publishes no throughput numbers
+(BASELINE.md), so the bar is the reference implementation's measured
+torch-CPU training throughput on identical synthetic data
+(``--measure-baseline`` runs a faithful torch reimplementation of the
+COGMEN step at equal FLOPs).
 """
 
 import argparse
 import json
-import sys
 import time
 
-# torch-CPU reference baseline, dialogues/sec, measured with
-# `python bench.py --measure-baseline` in this container (bs=32, L~48,
+# torch-CPU fallback constant, dialogues/sec, measured with
+# `python bench.py --measure-baseline` in this container (bs=32, L=96,
 # iemocap-cogmen-6 dims, COGMEN architecture).
 TORCH_CPU_BASELINE_DPS = 14.0
+
+# bf16 peak matmul throughput per chip (MXU), by device_kind substring
+PEAK_BF16_FLOPS = [
+    ("v6", 918e12),
+    ("v5p", 459e12),
+    ("v5", 197e12),  # v5e / v5 lite
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 45e12),
+]
+
+
+def _peak_flops():
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in PEAK_BF16_FLOPS:
+        if key in kind:
+            return peak
+    return None
+
+
+def _force(tree):
+    """Force device materialization of every array in a pytree.
+
+    The axon remote plugin's ``block_until_ready`` can return before remote
+    execution finishes, and ``device_put`` uploads lazily — fetching one
+    element per leaf forces the full dependency chain (upload + compute).
+    Round-1 bench numbers timed only dispatch because of this.
+    """
+    import jax
+    import numpy as np
+
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "ravel"):
+            np.asarray(jax.device_get(leaf.ravel()[0]))
 
 
 def make_batches(batch_size, n_batches, max_len, seed=0):
@@ -45,14 +87,27 @@ MODEL_REGISTRY = {
     "cim": ("erc_tpu.models.cim", "CIMParams", "CIMTrainer"),
 }
 
+# graph implementations each model supports (param name, choices to bench)
+MODEL_IMPLS = {
+    "cogmen": ("graph_impl", ["dense", "banded"]),
+    "dgcn": ("graph_impl", ["dense", "banded"]),
+    "mmgcn": ("adj_impl", ["structured", "dense"]),
+    "dagerc": (None, [None]),
+    "cim": (None, [None]),
+}
 
-def bench_tpu(batch_size=32, max_len=96, steps=32, steps_per_call=8, graph_impl="dense",
-              model="cogmen"):
+
+def bench_tpu(batch_size=32, max_len=96, steps=32, steps_per_call=8,
+              graph_impl="dense", model="cogmen", with_eval=True):
+    """Returns dict(train_dps, eval_dps, flops_per_step, mfu)."""
     import importlib
 
     import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
 
     from erc_tpu.parallel import mesh as meshlib
+    from erc_tpu.train.trainer import _stack_batches
 
     mod_name, pcls, tcls = MODEL_REGISTRY[model]
     mod = importlib.import_module(mod_name)
@@ -61,47 +116,107 @@ def bench_tpu(batch_size=32, max_len=96, steps=32, steps_per_call=8, graph_impl=
     p.dataset = "synthetic-cogmen-6"
     p.train.batch_size = batch_size
     p.max_seq_len = max_len
-    p.graph_impl = graph_impl
+    impl_key = MODEL_IMPLS[model][0]
+    if impl_key and graph_impl:
+        p[impl_key] = graph_impl
+    if model == "cogmen":
+        # bench the chained encoder: in 'reference' mode XLA dead-code-
+        # eliminates the unused transformer (the reference still pays its
+        # forward), which would make the comparison dishonest
+        p.encoder_mode = "chained"
     p.steps_per_call = steps_per_call
     p.iparams()
     tr = trainer_cls(p)
     tr.initialize()
     tr._build_step_fns()
 
-    import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec
-
-    from erc_tpu.train.trainer import _stack_batches
-
     K = max(steps_per_call, 1)
-    batches = make_batches(batch_size, K, max_len)
+    n_calls = max(steps // K, 1)
+    # distinct data + rng per call: groups of K batches, all placed on
+    # device before timing (capped at 8 distinct groups — ~70MB each over
+    # the tunnel — and cycled; batch *content* does not change step cost)
+    n_groups = min(n_calls, 8)
+    groups = []
+    for c in range(n_groups):
+        batches = make_batches(batch_size, K, max_len, seed=c)
+        if K == 1:
+            groups.append(meshlib.shard_batch(batches[0], tr.mesh))
+        else:
+            sh = NamedSharding(tr.mesh, PartitionSpec(None, "data"))
+            groups.append({
+                k: (jax.device_put(v, sh) if v is not None else None)
+                for k, v in _stack_batches(batches).items()
+            })
+    _force(groups)  # uploads must land on device before the clock starts
     if K == 1:
-        sharded = meshlib.shard_batch(batches[0], tr.mesh)
-        fn = lambda st, i: tr._train_step_fn(st, sharded, tr.rng.key("d", i))
-        per_call = 1
+        fn = lambda st, i: tr._train_step_fn(
+            st, groups[i % n_groups], tr.rng.key("d", i)
+        )
     else:
-        sh = NamedSharding(tr.mesh, PartitionSpec(None, "data"))
-        stacked = {
-            k: (jax.device_put(v, sh) if v is not None else None)
-            for k, v in _stack_batches(batches).items()
-        }
-        keys = jnp.stack([tr.rng.key("d", i) for i in range(K)])
-        fn = lambda st, i: tr._multi_step_fn(st, stacked, keys)
-        per_call = K
+        keysets = [
+            jnp.stack([tr.rng.key("d", c * K + i) for i in range(K)])
+            for c in range(n_calls)
+        ]
+        fn = lambda st, i: tr._multi_step_fn(
+            st, groups[i % n_groups], keysets[i % n_calls]
+        )
+
+    # analytic FLOPs of ONE train step from XLA's cost model
+    flops_per_step = None
+    try:
+        single = make_batches(batch_size, 1, max_len, seed=99)[0]
+        sharded1 = meshlib.shard_batch(single, tr.mesh)
+        cost = (
+            jax.jit(tr._make_raw_train_step())
+            .lower(tr.state, sharded1, tr.rng.key("d", 0))
+            .compile()
+            .cost_analysis()
+        )
+        if cost:
+            c0 = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops_per_step = float(c0.get("flops", 0.0)) or None
+    except Exception:
+        pass
 
     # warmup / compile
     state = tr.state
     for i in range(2):
         state, mets = fn(state, i)
-    jax.block_until_ready(state.params)
+    _force(mets)
 
-    n_calls = max(steps // per_call, 1)
     t0 = time.perf_counter()
     for i in range(n_calls):
-        state, mets = fn(state, 100 + i)
-    jax.block_until_ready(state.params)
+        state, mets = fn(state, i)
+    _force(mets)  # honest end-of-work barrier (see _force)
     dt = time.perf_counter() - t0
-    return batch_size * n_calls * per_call / dt
+    train_dps = batch_size * n_calls * K / dt
+    steps_per_sec = n_calls * K / dt
+
+    mfu = None
+    peak = _peak_flops()
+    if flops_per_step and peak:
+        # value_and_grad ≈ 3× forward FLOPs is already inside the lowered
+        # step; MFU = achieved / peak
+        mfu = flops_per_step * steps_per_sec / peak
+
+    eval_dps = None
+    if with_eval:
+        ev_batches = [meshlib.shard_batch(b, tr.mesh)
+                      for b in make_batches(batch_size, max(n_calls, 4), max_len, seed=7)]
+        _force(ev_batches)
+        logits = tr._eval_fn(state, ev_batches[0])
+        _force(logits)
+        t0 = time.perf_counter()
+        outs = [tr._eval_fn(state, b) for b in ev_batches]
+        _force(outs[-1])
+        eval_dps = batch_size * len(ev_batches) / (time.perf_counter() - t0)
+
+    return {
+        "train_dps": train_dps,
+        "eval_dps": eval_dps,
+        "flops_per_step": flops_per_step,
+        "mfu": mfu,
+    }
 
 
 def bench_torch_baseline(batch_size=32, max_len=96, steps=10):
@@ -172,13 +287,76 @@ def bench_torch_baseline(batch_size=32, max_len=96, steps=10):
     return batch_size * steps / dt
 
 
+def run_matrix(args):
+    import jax
+
+    rows = []
+    for model, (impl_key, impls) in MODEL_IMPLS.items():
+        for impl in impls:
+            label = impl or "-"
+            try:
+                r = bench_tpu(
+                    args.batch_size, args.max_len, args.steps,
+                    args.steps_per_call, impl, model,
+                )
+            except Exception as e:  # record, keep going
+                rows.append((model, label, None, None, None, None, repr(e)[:80]))
+                continue
+            rows.append((
+                model, label, r["train_dps"], r["eval_dps"],
+                r["flops_per_step"], r["mfu"], "",
+            ))
+            print(f"  {model:8s} {label:10s} train={r['train_dps']:.0f} dia/s "
+                  f"eval={r['eval_dps']:.0f} dia/s "
+                  f"mfu={100 * (r['mfu'] or 0):.2f}%", flush=True)
+
+    dev = jax.devices()[0]
+    lines = [
+        "# BENCH_MATRIX — model zoo × graph implementation, one chip",
+        "",
+        f"Device: {dev.device_kind} (platform {dev.platform}); "
+        f"B={args.batch_size}, L={args.max_len}, steps={args.steps}, "
+        f"steps_per_call={args.steps_per_call}; synthetic iemocap-cogmen-6 "
+        "dims; bf16 matmuls.",
+        "",
+        "| model | impl | train dia/s | eval dia/s | GFLOPs/step | MFU | note |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for m, label, tr_dps, ev_dps, fl, mfu, note in rows:
+        lines.append(
+            f"| {m} | {label} | "
+            + (f"{tr_dps:.0f}" if tr_dps else "—") + " | "
+            + (f"{ev_dps:.0f}" if ev_dps else "—") + " | "
+            + (f"{fl / 1e9:.2f}" if fl else "—") + " | "
+            + (f"{100 * mfu:.2f}%" if mfu else "—") + f" | {note} |"
+        )
+    lines += [
+        "",
+        "MFU = XLA cost-analysis FLOPs of one jitted train step × steps/s ÷ "
+        "bf16 peak of the chip.  ERC models are tiny (≤10M params, L≤96), "
+        "so steady-state is dispatch/HBM-bound, not MXU-bound — MFU is "
+        "reported for honesty, not as the optimization target; "
+        "dialogues/s/chip is the product metric.",
+    ]
+    with open("BENCH_MATRIX.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote BENCH_MATRIX.md")
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--measure-baseline", action="store_true")
+    ap.add_argument("--measure-baseline", action="store_true",
+                    help="measure the torch-CPU reference and exit")
+    ap.add_argument("--no-measure-baseline", action="store_true",
+                    help="use the recorded baseline constant (skip torch run)")
+    ap.add_argument("--matrix", action="store_true",
+                    help="bench all models × impls, write BENCH_MATRIX.md")
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--max-len", type=int, default=96)
-    ap.add_argument("--steps", type=int, default=30)
-    ap.add_argument("--graph-impl", default="dense", choices=["banded", "dense"])
+    ap.add_argument("--steps", type=int, default=128)
+    ap.add_argument("--baseline-steps", type=int, default=5)
+    ap.add_argument("--graph-impl", default="dense",
+                    choices=["banded", "dense", "structured", "auto"])
     ap.add_argument("--steps-per-call", type=int, default=8)
     ap.add_argument("--model", default="cogmen", choices=list(MODEL_REGISTRY))
     args = ap.parse_args()
@@ -189,17 +367,35 @@ def main():
                           "unit": "dialogues/s"}))
         return
 
-    dps = bench_tpu(args.batch_size, args.max_len, args.steps, args.steps_per_call, args.graph_impl, args.model)
-    print(
-        json.dumps(
-            {
-                "metric": f"{args.model}_train_throughput",
-                "value": round(dps, 2),
-                "unit": "dialogues/s/chip",
-                "vs_baseline": round(dps / TORCH_CPU_BASELINE_DPS, 2),
-            }
-        )
-    )
+    if args.matrix:
+        run_matrix(args)
+        return
+
+    r = bench_tpu(args.batch_size, args.max_len, args.steps,
+                  args.steps_per_call, args.graph_impl, args.model)
+
+    baseline = TORCH_CPU_BASELINE_DPS
+    if not args.no_measure_baseline:
+        try:
+            baseline = bench_torch_baseline(args.batch_size, args.max_len,
+                                            steps=args.baseline_steps)
+        except Exception:
+            pass
+
+    out = {
+        "metric": f"{args.model}_train_throughput",
+        "value": round(r["train_dps"], 2),
+        "unit": "dialogues/s/chip",
+        "vs_baseline": round(r["train_dps"] / baseline, 2),
+        "baseline_dps": round(baseline, 2),
+    }
+    if r["eval_dps"]:
+        out["eval_dps"] = round(r["eval_dps"], 2)
+    if r["mfu"]:
+        out["mfu"] = round(r["mfu"], 4)
+    if r["flops_per_step"]:
+        out["gflops_per_step"] = round(r["flops_per_step"] / 1e9, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -81,6 +81,29 @@ def _iemocap_cogmen(root, pkl_rel, subdir, split, text="", visual=""):
     return res
 
 
+def load_iemocap_cogmen_raw(root, n_class=4):
+    """Raw per-dialogue dicts from the COGMEN dump — what the video
+    re-extraction walker aligns against (iemocap_feature.py:157-186)."""
+    rel = (
+        "cogmen/iemocap_4/IEMOCAP_features_4.pkl"
+        if n_class == 4
+        else "cogmen/iemocap/IEMOCAP_features.pkl"
+    )
+    pkl = load_pkl(os.path.join(root, rel))
+    (
+        video_ids, video_speakers, video_labels, video_text, video_audio,
+        video_visual, video_sentence, train_ids, test_ids,
+    ) = pkl
+    return {
+        "video_ids": video_ids,
+        "video_speakers": video_speakers,
+        "video_labels": video_labels,
+        "video_sentence": video_sentence,
+        "train_ids": train_ids,
+        "test_ids": test_ids,
+    }
+
+
 def iemocap_cogmen_6(root, split="train", text="", visual=""):
     """9-tuple COGMEN dump (iemocap_feature.py:360-408)."""
     return _iemocap_cogmen(

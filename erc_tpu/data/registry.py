@@ -12,7 +12,7 @@ import os
 from functools import partial
 from typing import Callable, Dict
 
-from erc_tpu.data import readers, synthetic
+from erc_tpu.data import iemocap_raw, readers, synthetic
 
 
 def default_roots() -> Dict[str, str]:
@@ -28,6 +28,16 @@ def default_roots() -> Dict[str, str]:
 
 
 regist_data: Dict[str, Callable] = {
+    # raw-corpus utterance views (reference datas/__init__.py:18-31; needs
+    # the IEMOCAP_full_release tree, no feature dumps)
+    "iemocap-audio-raw-9": iemocap_raw.iemocap_audio,
+    "iemocap-audio-4": iemocap_raw.iemocap_audio_subset("4"),
+    "iemocap-audio-v1-4": iemocap_raw.iemocap_audio_subset("4.1"),
+    "iemocap-audio-6": iemocap_raw.iemocap_audio_subset("6"),
+    "iemocap-text-4": iemocap_raw.iemocap_text_subset("4"),
+    "iemocap-text-v1-4": iemocap_raw.iemocap_text_subset("4.1"),
+    "iemocap-text-6": iemocap_raw.iemocap_text_subset("6"),
+    "iemocap-ta-4": iemocap_raw.iemocap_text_audio_subset("4"),
     "iemocap-cogmen-6": partial(readers.iemocap_cogmen_6),
     "iemocap-cogmen-sbert-6": partial(readers.iemocap_cogmen_6, text="sbert"),
     "iemocap-cogmen-robert-6": partial(readers.iemocap_cogmen_6, text="robert"),

@@ -1,48 +1,72 @@
 """Video feature re-extraction entry (reference: preprocess_video.py →
-preprocess/video/extractor.py main): TSN-R50 utterance features with
-speaker half-frame crops.
+preprocess/video/extractor.py:170-227): walk every dialogue avi, slice
+per-utterance frame spans from the transcript timestamps, crop the
+speaker's half-frame, and run the flax TSN-R50 (or X3D) backbone.
 
-    python preprocess_video.py --dataset=iemocap-cogmen-4 \
-        --checkpoint=/path/tsn_r50.pth [--out=/path/tsn_vfeat.pkl]
+    python preprocess_video.py --dataset=iemocap-cogmen-video-4 \
+        --checkpoint=/path/tsn_r50.pth [--backbone=tsn|x3d] [--out=...]
 
-Video decode requires decord/cv2 + the raw .avi files; the extractor also
-accepts pre-decoded [T, H, W, 3] frame arrays programmatically
-(erc_tpu.preprocess.video.TSNExtractor.extract).
+Requires the IEMOCAP_full_release tree (avis + transcripts) under the
+dataset root and the cogmen feature pkl (for the dump-sentence alignment,
+reference iemocap_feature.py:157-225).  Decode uses cv2.
 """
 
+import os
 import pickle
+
+import numpy as np
 
 from erc_tpu.core.params import BaseParams
 
 
-def main():
+def main(argv=None):
     p = BaseParams()
-    p.dataset = "iemocap-cogmen-4"
+    p.dataset = "iemocap-cogmen-video-4"
     p.checkpoint = None
+    p.backbone = p.choice("tsn", "x3d")
     p.out = None
     p.n_segments = 8
-    p.finalize()
+    p.release_dir = "IEMOCAP_full_release"
+    p.prefix = ""
+    p.finalize(argv)
 
-    from erc_tpu.preprocess.video import TSNExtractor
+    from erc_tpu.data.readers import load_iemocap_cogmen_raw
+    from erc_tpu.data.registry import get_root
+    from erc_tpu.preprocess.video_walk import extract_dialogue_features, video_alignment
 
-    if p.get("checkpoint"):
-        ex = TSNExtractor.from_torch_checkpoint(p.checkpoint, n_segments=int(p.n_segments))
+    n_class = int(p.dataset.rsplit("-", 1)[-1])
+    root = get_root(p.dataset)
+    raw = load_iemocap_cogmen_raw(root, n_class)
+    clips = video_alignment(
+        os.path.join(root, p.release_dir),
+        video_sentence=raw["video_sentence"],
+        video_speakers=raw["video_speakers"],
+        video_labels=raw["video_labels"],
+    )
+    print(f"aligned {len(clips)} dialogue videos")
+
+    from erc_tpu.preprocess.video import TSNExtractor, X3DExtractor
+
+    if p.backbone == "x3d":
+        cls, kw = X3DExtractor, {}
     else:
-        ex = TSNExtractor(n_segments=int(p.n_segments))
+        cls, kw = TSNExtractor, {"n_segments": int(p.n_segments)}
+    if p.get("checkpoint"):
+        ex = cls.from_torch_checkpoint(p.checkpoint, **kw)
+    else:
+        ex = cls(**kw)
         print("warning: no --checkpoint given — random backbone weights")
 
-    from erc_tpu.data.registry import get_root
+    feats = extract_dialogue_features(clips, ex.extract, log=print)
 
-    root = get_root(p.dataset)
-    try:
-        import decord  # noqa: F401
-    except ImportError:
-        print(
-            "decord unavailable in this environment — supply pre-decoded "
-            "frames via TSNExtractor.extract(frames) instead."
-        )
-        return
-    raise SystemExit("raw-video walking requires the IEMOCAP avi dump; see docs")
+    prefix = p.get("prefix") or p.backbone
+    sub = "iemocap_4" if n_class == 4 else "iemocap"
+    out = p.get("out") or os.path.join(root, "cogmen", sub, f"{prefix}_vfeat.pkl")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "wb") as f:
+        pickle.dump(feats, f)
+    n_ok = sum(1 for v in feats.values() if len(v))
+    print(f"wrote {out}: {n_ok}/{len(feats)} dialogues extracted")
 
 
 if __name__ == "__main__":
