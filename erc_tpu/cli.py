@@ -1,26 +1,78 @@
-"""Management CLI (reference: lumo/cli/cli.py — `lumo sum/list/...`).
+"""Management CLI (reference: lumo/cli/cli.py — `lumo sum/init/extract/clone/...`).
 
     python -m erc_tpu.cli list                 # experiments
     python -m erc_tpu.cli tests <exp>          # tests of an experiment
     python -m erc_tpu.cli sum <exp> <test>     # full summary of one test
     python -m erc_tpu.cli board                # best-metric table across runs
     python -m erc_tpu.cli stop <exp> <test>    # graceful stop (.stop file)
+    python -m erc_tpu.cli init [path]          # git init + .erc_tpurc.json skeleton
+    python -m erc_tpu.cli extract <exp> <test> [out.zip]   # archive one run
+    python -m erc_tpu.cli clone <url> [alias]  # git clone + init
+    python -m erc_tpu.cli archive <commit> <out.zip>       # export a run snapshot
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 
 from erc_tpu import analyse
 from erc_tpu.core.experiment import exproot
 
 
+def _init_repo(path: str) -> str:
+    """`lumo init` equivalent (reference cli/cli.py:57-59): git init + a
+    machine-config skeleton."""
+    os.makedirs(path, exist_ok=True)
+    subprocess.run(["git", "init", "-q", path], check=False)
+    rc = os.path.join(path, ".erc_tpurc.json")
+    if not os.path.exists(rc):
+        with open(rc, "w") as f:
+            json.dump(
+                {"exproot": None, "data_root": None, "git_snapshot": True}, f, indent=2
+            )
+    return os.path.abspath(path)
+
+
+def _extract_test(exp: str, test: str, output=None) -> str:
+    """`lumo extract` equivalent: zip one run's metadata + blobs."""
+    import zipfile
+
+    root = exproot()
+    output = output or f"{exp}.{test}.zip"
+    with zipfile.ZipFile(output, "w", zipfile.ZIP_DEFLATED) as z:
+        for kind in ("experiment", "blob"):
+            base = os.path.join(root, kind, exp, test)
+            for dirpath, _, files in os.walk(base):
+                for name in files:
+                    full = os.path.join(dirpath, name)
+                    z.write(full, os.path.join(kind, os.path.relpath(full, base)))
+    return output
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     cmd = argv[0] if argv else "board"
-    if cmd == "list":
+    if cmd == "init":
+        print(_init_repo(argv[1] if len(argv) > 1 else "."))
+    elif cmd == "extract":
+        out = _extract_test(argv[1], argv[2], argv[3] if len(argv) > 3 else None)
+        print(f"wrote {out}")
+    elif cmd == "clone":
+        url = argv[1]
+        alias = argv[2] if len(argv) > 2 else os.path.basename(url).removesuffix(".git")
+        subprocess.run(["git", "clone", url, alias], check=True)
+        print(_init_repo(alias))
+    elif cmd == "archive":
+        from erc_tpu.core.machine import archive_snapshot
+
+        ok = archive_snapshot(argv[1], argv[2])
+        print(f"{'wrote' if ok else 'FAILED to write'} {argv[2]}")
+        if not ok:
+            sys.exit(1)
+    elif cmd == "list":
         for e in analyse.list_experiments():
             print(e)
     elif cmd == "tests":

@@ -21,7 +21,9 @@ from typing import Optional
 
 
 def exproot() -> str:
-    return os.environ.get("ERC_TPU_EXPROOT", os.path.expanduser("~/.erc_tpu"))
+    from erc_tpu.core.machine import cfg_get
+
+    return cfg_get("exproot", env="ERC_TPU_EXPROOT", default=os.path.expanduser("~/.erc_tpu"))
 
 
 class Experiment:
@@ -80,6 +82,15 @@ class Experiment:
             "git": self._git_hash(),
             "versions": self._versions(),
         }
+        # working-tree snapshot: uncommitted edits become a commit on the
+        # snapshot branch so the run is reproducible (reference
+        # exphook.py:107-171 GitCommit; disable: ERC_TPU_GIT_SNAPSHOT=0)
+        from erc_tpu.core.machine import git_snapshot, snapshot_enabled
+
+        if snapshot_enabled():
+            snap = git_snapshot(message=f"run {self.exp_name}/{self.test_name}")
+            if snap:
+                info["git_snapshot"] = snap
         self.dump_info("initial", info)
         # rerun script (reference: exphook.py:33-50)
         with open(self.test_file("rerun.sh"), "w") as f:

@@ -16,8 +16,12 @@ from erc_tpu.data import iemocap_raw, readers, synthetic
 
 
 def default_roots() -> Dict[str, str]:
-    """Dataset roots; override via ERC_TPU_DATA_ROOT or a config file."""
-    base = os.environ.get("ERC_TPU_DATA_ROOT", os.path.expanduser("~/erc_data"))
+    """Dataset roots; override via ERC_TPU_DATA_ROOT or .erc_tpurc.json."""
+    from erc_tpu.core.machine import cfg_get
+
+    base = cfg_get(
+        "data_root", env="ERC_TPU_DATA_ROOT", default=os.path.expanduser("~/erc_data")
+    )
     return {
         "iemocap": os.path.join(base, "iemocap"),
         "meld": os.path.join(base, "meld"),

@@ -180,6 +180,42 @@ class MaskedEdgeAttentionDense(nn.Module):
         return masked_softmax(logits, win, axis=-1, mode="where")
 
 
+class CNNFeatureExtractor(nn.Module):
+    """Token-level TextCNN utterance encoder (DailyDialog track, reference
+    dgcnv2_models.py:776-816): Embed → Conv1d per kernel size → relu →
+    max-over-time → concat → dropout → Dense → relu, masked.
+
+    Input token ids [B, L, W]; returns [B, L, output_size].  The torch
+    Conv1d over the word axis is a VALID-padded nn.Conv on [BL, W, E].
+    """
+
+    vocab_size: int
+    embedding_dim: int = 300
+    output_size: int = 100
+    filters: int = 50
+    kernel_sizes: tuple = (3, 4, 5)
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, token_ids, mask, deterministic: bool = True):
+        B, L, W = token_ids.shape
+        emb = nn.Embed(
+            self.vocab_size, self.embedding_dim,
+            embedding_init=nn.initializers.normal(1.0), name="embedding",
+        )(token_ids.astype(jnp.int32)).reshape(B * L, W, self.embedding_dim)
+        pooled = []
+        for K in self.kernel_sizes:
+            c = nn.Conv(
+                self.filters, (K,), padding="VALID", name=f"conv_{K}"
+            )(emb)  # [BL, W-K+1, F]
+            pooled.append(nn.relu(c).max(axis=1))
+        h = jnp.concatenate(pooled, -1)
+        if not deterministic and self.dropout > 0:
+            h = nn.Dropout(self.dropout)(h, deterministic=False)
+        h = nn.relu(nn.Dense(self.output_size, name="fc")(h))
+        return h.reshape(B, L, self.output_size) * mask[..., None]
+
+
 class DGCNV2Module(nn.Module):
     base_model: str
     input_size: int
@@ -192,10 +228,26 @@ class DGCNV2Module(nn.Module):
     drop_rate: float = 0.4
     max_seq_len: int = 110
     graph_hidden_size: int = 100
+    # DailyDialog variant (reference DialogueGCN_DailyModel,
+    # dgcnv2_models.py:818-927): tokens → CNNFeatureExtractor → same
+    # encoder/graph/classifier pipeline
+    vocab_size: int = 0
+    embedding_dim: int = 300
+    cnn_output_size: int = 100
+    cnn_filters: int = 50
+    cnn_kernel_sizes: tuple = (3, 4, 5)
+    cnn_dropout: float = 0.5
 
     @nn.compact
     def __call__(self, batch, deterministic: bool = True):
-        x = batch["input_tensor"]
+        if self.vocab_size:
+            x = CNNFeatureExtractor(
+                self.vocab_size, self.embedding_dim, self.cnn_output_size,
+                self.cnn_filters, self.cnn_kernel_sizes, self.cnn_dropout,
+                name="cnn_feat_extractor",
+            )(batch["token_ids"], batch["attention_mask"], deterministic)
+        else:
+            x = batch["input_tensor"]
         mask = batch["attention_mask"]
         spk_ids = batch["speaker_ids"]
         lengths = batch["text_length"]
@@ -254,6 +306,70 @@ class DGCNV2Module(nn.Module):
         return nn.Dense(self.n_classes, name="smax_fc")(h)
 
 
+class DailyBatcher:
+    """Token-dialogue batcher for the DailyDialog track: pads to
+    [B, L, n_words] int token ids + the standard mask/speaker/label keys."""
+
+    def __init__(self, n_words: int = 50, max_len: int = 110, pad_batch_to=None):
+        self.n_words = n_words
+        self.max_len = max_len
+        self.pad_batch_to = pad_batch_to
+
+    def __call__(self, samples):
+        import numpy as np
+
+        B = len(samples)
+        Bp = self.pad_batch_to or B
+        lens = np.array([min(len(s["label"]), self.max_len) for s in samples], np.int32)
+        L = int(lens.max())
+        W = self.n_words
+        tok = np.zeros((Bp, L, W), np.int32)
+        spk = np.zeros((Bp, L), np.int32)
+        label = np.full((Bp, L), -1, np.int32)
+        mask = np.zeros((Bp, L), np.float32)
+        for i, s in enumerate(samples):
+            ln = lens[i]
+            for j in range(ln):
+                row = np.asarray(s["tokens"][j], np.int32)[:W]
+                tok[i, j, : len(row)] = row
+            spk[i, :ln] = np.asarray(s["speakers"], np.int32)[:ln]
+            label[i, :ln] = np.asarray(s["label"], np.int32)[:ln]
+            mask[i, :ln] = 1.0
+        lens_p = np.zeros(Bp, np.int32)
+        lens_p[: len(lens)] = lens
+        return {
+            "token_ids": tok,
+            "attention_mask": mask,
+            "speaker_ids": spk,
+            "speaker_tensor": spk,
+            "text_length": lens_p,
+            "label": label,
+            "input_tensor": None,
+        }
+
+
+def synthetic_daily(n_classes=7, split="train", n_train=24, vocab=400,
+                    min_len=4, max_len=12, n_words=20, seed=0):
+    import numpy as np
+
+    rng = np.random.default_rng(seed + (0 if split == "train" else 1))
+    n = n_train if split == "train" else max(n_train // 3, 2)
+    out = []
+    for _ in range(n):
+        ln = int(rng.integers(min_len, max_len + 1))
+        out.append(
+            {
+                "tokens": [
+                    rng.integers(1, vocab, size=int(rng.integers(3, n_words))).tolist()
+                    for _ in range(ln)
+                ],
+                "speakers": rng.integers(0, 2, size=ln).tolist(),
+                "label": rng.integers(0, n_classes, size=ln).tolist(),
+            }
+        )
+    return out
+
+
 class DGCNV2Trainer(Trainer):
     def imodels(self, params: ParamsType):
         self.model = DGCNV2Module(
@@ -272,3 +388,62 @@ class DGCNV2Trainer(Trainer):
 
 
 main = partial(_main, DGCNV2Trainer, DGCNV2Params)
+
+
+class DGCNV2DailyParams(DGCNV2Params):
+    def __init__(self):
+        super().__init__()
+        self.dataset = "dailydialog-token-7"
+        self.vocab_size = 20000
+        self.n_words = 50
+        self.embedding_dim = 300
+
+
+class DGCNV2DailyTrainer(Trainer):
+    """DailyDialog track: CNNFeatureExtractor over token ids feeding the
+    dgcnv2 graph pipeline (reference DialogueGCN_DailyModel)."""
+
+    def imodels(self, params):
+        self.model = DGCNV2Module(
+            base_model=params.base_model,
+            input_size=100,  # = cnn_output_size (dgcnv2_models.py:833)
+            hidden_size=params.hidden_size,
+            n_speakers=params.n_speakers,
+            wp=params.wp,
+            wf=params.wf,
+            n_classes=params.n_classes,
+            max_seq_len=int(params.max_seq_len),
+            vocab_size=int(params.vocab_size),
+            embedding_dim=int(params.embedding_dim),
+        )
+        self.tx = optim_factory.build_optim(params.optim)
+
+    def _daily_batcher(self, batch_size):
+        data_axis = self.mesh.devices.shape[0]
+        pad_to = -(-int(batch_size) // data_axis) * data_axis
+        return DailyBatcher(
+            n_words=int(self.params.n_words),
+            max_len=int(self.params.get("max_seq_len", 110)),
+            pad_batch_to=pad_to,
+        )
+
+    def make_loader(self, split):
+        from erc_tpu.data.loader import DialogueLoader
+
+        p = self.params
+        samples = synthetic_daily(p.n_classes, split, vocab=int(p.vocab_size))
+        bs = int(p.train.batch_size if split == "train" else p.test.batch_size)
+        return DialogueLoader(
+            samples, self._daily_batcher(bs), batch_size=bs,
+            shuffle=(split == "train"), seed=p.seed,
+        )
+
+    def example_batch(self, L: int = 12, B: int = 2):
+        samples = synthetic_daily(
+            self.params.n_classes, "train", n_train=B, min_len=L, max_len=L,
+            vocab=int(self.params.vocab_size),
+        )
+        return self._daily_batcher(B)(samples)
+
+
+daily_main = partial(_main, DGCNV2DailyTrainer, DGCNV2DailyParams)

@@ -133,6 +133,68 @@ def test_dgcnv2_dialogrnn_smoke(tmp_path):
     assert np.isfinite(float(np.asarray(mets["Lall"])))
 
 
+def test_cnn_feature_extractor_torch_golden():
+    """CNNFeatureExtractor ≡ the reference's TextCNN (Embed → Conv1d →
+    relu → max-over-time → concat → fc → relu), weights ported flax→torch
+    (dgcnv2_models.py:776-816)."""
+    import torch
+    import torch.nn.functional as F
+
+    from erc_tpu.models.dgcnv2 import CNNFeatureExtractor
+
+    V, E, OUT, FLT, KS = 37, 12, 10, 6, (2, 3)
+    B, L, W = 2, 3, 7
+    rng = np.random.default_rng(0)
+    tok = rng.integers(0, V, size=(B, L, W)).astype(np.int32)
+    mask = np.ones((B, L), np.float32)
+    mask[1, 2] = 0.0
+
+    m = CNNFeatureExtractor(V, E, OUT, FLT, KS, dropout=0.0)
+    variables = m.init(jax.random.PRNGKey(0), tok, mask, deterministic=True)
+    out = np.asarray(m.apply(variables, tok, mask, deterministic=True))
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    with torch.no_grad():
+        emb = torch.from_numpy(p["embedding"]["embedding"])[
+            torch.from_numpy(tok).long().view(-1, W)
+        ]  # [BL, W, E]
+        x = emb.transpose(1, 2)  # [BL, E, W]
+        pooled = []
+        for K in KS:
+            # flax Conv kernel [K, in, out] → torch Conv1d weight [out, in, K]
+            w = torch.from_numpy(p[f"conv_{K}"]["kernel"]).permute(2, 1, 0)
+            b = torch.from_numpy(p[f"conv_{K}"]["bias"])
+            c = F.relu(F.conv1d(x, w, b))
+            pooled.append(F.max_pool1d(c, c.shape[2]).squeeze(-1))
+        h = torch.cat(pooled, 1)
+        h = F.relu(h @ torch.from_numpy(p["fc"]["kernel"]) + torch.from_numpy(p["fc"]["bias"]))
+        ref = h.view(B, L, OUT).numpy() * mask[..., None]
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_dgcnv2_daily_smoke(tmp_path):
+    import os
+
+    os.environ["ERC_TPU_EXPROOT"] = str(tmp_path)
+    from erc_tpu.models.dgcnv2 import DGCNV2DailyParams, DGCNV2DailyTrainer
+    from erc_tpu.parallel import mesh as meshlib
+
+    p = DGCNV2DailyParams()
+    p.vocab_size = 100
+    p.n_words = 8
+    p.max_seq_len = 10
+    p.iparams()
+    tr = DGCNV2DailyTrainer(p)
+    tr.initialize()
+    tr._build_step_fns()
+    batch = tr.example_batch(L=10, B=8)
+    sharded = meshlib.shard_batch(batch, tr.mesh)
+    state, mets = tr._train_step_fn(tr.state, sharded, tr.rng.key("d", 0))
+    assert np.isfinite(float(np.asarray(mets["Lall"])))
+    logits = tr._eval_fn(state, sharded)
+    assert logits.shape == (8, 10, 7)
+
+
 def test_reverse_padded():
     import jax.numpy as jnp
     from erc_tpu.models.dgcnv2 import reverse_padded
