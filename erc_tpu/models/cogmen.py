@@ -84,12 +84,14 @@ class GNN(nn.Module):
     @nn.compact
     def __call__(self, x, speakers, lengths, mask, train: bool = False):
         num_relations = 2 * self.n_speakers**2
-        # 'auto': dense wins while R·L² matmuls stay cheap (MXU); the banded
-        # Pallas path wins when relations (MELD S=9 → R=162) or length blow
-        # up the dense relation scan (measured on v5e: bench.py --graph-impl)
+        # 'auto': dense — measured on v5e (bench.py --matrix, r2): dense
+        # beats the banded Pallas path at every reference scale (S=2 L=96:
+        # 5183 vs 4950; dgcn S=9 R=162: 2708 vs 2352; L=192: 4018 vs 3778
+        # dia/s).  The [B,L,L] relation scan rides the MXU; the band kernel
+        # is VPU-bound.  'banded' stays selectable for the L≫256 regime.
         impl = self.graph_impl
         if impl == "auto":
-            impl = "banded" if (num_relations > 32 or x.shape[1] > 128) else "dense"
+            impl = "banded" if x.shape[1] > 256 else "dense"
         if impl == "banded":
             x = BandedRGCN(
                 self.h1_dim, num_relations, self.n_speakers, self.wp, self.wf,

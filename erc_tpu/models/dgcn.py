@@ -141,9 +141,11 @@ class DGCNModule(nn.Module):
             bidirectional=True, dropout=self.drop_rate, name="rnn",
         )(x, mask, deterministic=deterministic)
 
+        # measured v5e (r2): dense wins at S=2 (8833 vs 7269), S=9 R=162
+        # (2708 vs 2352) and L=192 (4018 vs 3778 dia/s) — see cogmen.py note
         impl = self.graph_impl
         if impl == "auto":
-            impl = "banded" if (2 * self.n_speakers**2 > 32 or L > 128) else "dense"
+            impl = "banded" if L > 256 else "dense"
         if impl == "banded":
             from erc_tpu.ops.gnn_banded import BandedRGCN, banded_relational_messages
             from erc_tpu.ops.pallas.banded import band_offsets, banded_gather_sum

@@ -228,6 +228,8 @@ class DGCNV2Module(nn.Module):
     drop_rate: float = 0.4
     max_seq_len: int = 110
     graph_hidden_size: int = 100
+    d_g: int = 150  # DialogueRNN global/party dims (dgcnv2.py:71-77)
+    d_p: int = 150
     # DailyDialog variant (reference DialogueGCN_DailyModel,
     # dgcnv2_models.py:818-927): tokens → CNNFeatureExtractor → same
     # encoder/graph/classifier pipeline
@@ -252,7 +254,7 @@ class DGCNV2Module(nn.Module):
         spk_ids = batch["speaker_ids"]
         lengths = batch["text_length"]
         L = x.shape[1]
-        D_g, D_p = 150, 150
+        D_g, D_p = self.d_g, self.d_p
         qmask = jax.nn.one_hot(spk_ids, self.n_speakers, dtype=x.dtype) * mask[..., None]
 
         if self.base_model == "DialogRNN":
@@ -381,6 +383,8 @@ class DGCNV2Trainer(Trainer):
             wf=params.wf,
             n_classes=params.n_classes,
             max_seq_len=int(params.max_seq_len),
+            d_g=int(params.get("d_g", 150)),
+            d_p=int(params.get("d_p", 150)),
         )
         self.tx = optim_factory.build_optim(params.optim)
         if params.get("loss_weights", True) and params.n_classes == 6:
@@ -415,6 +419,8 @@ class DGCNV2DailyTrainer(Trainer):
             max_seq_len=int(params.max_seq_len),
             vocab_size=int(params.vocab_size),
             embedding_dim=int(params.embedding_dim),
+            d_g=int(params.get("d_g", 150)),
+            d_p=int(params.get("d_p", 150)),
         )
         self.tx = optim_factory.build_optim(params.optim)
 

@@ -52,31 +52,68 @@ def banded_gather_sum_reference(coef, src, offsets):
     return out
 
 
-def _fwd_kernel(coef_ref, src_ref, out_ref, *, offsets, pad_lo, TV):
+def _round8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def _band_geometry(L: int, offsets: Tuple[int, ...], TV: int = 128):
+    """Sublane-aligned slab geometry shared by both kernels.
+
+    Mosaic only supports dynamic sublane loads at multiples of 8 once the
+    lane dim exceeds one 128-wide tile, so each block loads ONE aligned
+    slab covering every tap ([v0+shift, v0+shift+SLAB), shift ≡ 0 mod 8)
+    and taps are realized as static rotates + an offset-0 slice.
+    """
+    minoff, maxoff = min(offsets), max(offsets)
+    TV = min(TV, _round8(L))
+    span = maxoff - minoff
+    pad_lo0 = max(0, -minoff)
+    # extra left pad so shift = minoff + pad_lo is a multiple of 8
+    extra = (-(minoff + pad_lo0)) % 8
+    pad_lo = pad_lo0 + extra
+    shift = minoff + pad_lo
+    SLAB = _round8(TV + span)
+    n_blocks = -(-L // TV)
+    need = (n_blocks - 1) * TV + shift + SLAB
+    pad_hi = max(0, need - (pad_lo + L))
+    return TV, pad_lo, pad_hi, shift, SLAB, n_blocks
+
+
+def _tap(slab, rel: int, TV: int):
+    """Rows [rel, rel+TV) of a loaded slab, via rotate + aligned slice
+    (compiled; pltpu.roll wants a non-negative shift, so rotate by
+    SLAB-rel) or a direct static slice (interpret)."""
+    if rel == 0:
+        return slab[:TV]
+    if _on_tpu():
+        return pltpu.roll(slab, slab.shape[0] - rel, 0)[:TV]
+    return jax.lax.slice_in_dim(slab, rel, rel + TV, axis=0)
+
+
+def _fwd_kernel(coef_ref, src_ref, out_ref, *, offsets, shift, TV, SLAB):
     # coef_ref block: [TV, K]; src_ref block: full padded rows [Lp, D];
     # out_ref block: [TV, D].  Tap u = v + off lives at padded row
-    # v + off + pad_lo; with v0 = i*TV the slab starts at v0 + off + pad_lo.
+    # v + off + pad_lo = (v0 + shift) + (off - minoff) + v_local.
     i = pl.program_id(1)
     v0 = i * TV
+    minoff = min(offsets)
+    slab_full = src_ref[pl.ds(v0 + shift, SLAB), :].astype(jnp.float32)
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for k, off in enumerate(offsets):
-        slab = src_ref[pl.ds(v0 + (off + pad_lo), TV), :]
-        acc = acc + coef_ref[:, k : k + 1].astype(jnp.float32) * slab.astype(jnp.float32)
+        slab = _tap(slab_full, off - minoff, TV)
+        acc = acc + coef_ref[:, k : k + 1].astype(jnp.float32) * slab
     out_ref[:, :] = acc.astype(out_ref.dtype)
 
 
 def _banded_fwd_pallas(coef, src, offsets: Tuple[int, ...], TV: int = 128):
     B, L, D = src.shape
     K = len(offsets)
-    minoff, maxoff = min(offsets), max(offsets)
-    # pad src rows so every tap is an in-range slice
-    pad_lo, pad_hi = max(0, -minoff), max(0, maxoff + TV)
+    TV, pad_lo, pad_hi, shift, SLAB, n_blocks = _band_geometry(L, offsets, TV)
     srcp = jnp.pad(src, ((0, 0), (pad_lo, pad_hi), (0, 0)))
     Lp = srcp.shape[1]
-    TV = min(TV, L)
-    grid = (B, pl.cdiv(L, TV))
+    grid = (B, n_blocks)
 
-    kernel = functools.partial(_fwd_kernel, offsets=offsets, pad_lo=pad_lo, TV=TV)
+    kernel = functools.partial(_fwd_kernel, offsets=offsets, shift=shift, TV=TV, SLAB=SLAB)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -155,13 +192,15 @@ def banded_dot_reference(a, b, offsets):
     return jnp.stack(outs, -1)
 
 
-def _dot_kernel(a_ref, b_ref, out_ref, *, offsets, pad_lo, TV):
+def _dot_kernel(a_ref, b_ref, out_ref, *, offsets, shift, TV, SLAB):
     i = pl.program_id(1)
     v0 = i * TV
+    minoff = min(offsets)
     av = a_ref[:, :].astype(jnp.float32)
+    slab_full = b_ref[pl.ds(v0 + shift, SLAB), :].astype(jnp.float32)
     cols = []
     for k, off in enumerate(offsets):
-        slab = b_ref[pl.ds(v0 + (off + pad_lo), TV), :].astype(jnp.float32)
+        slab = _tap(slab_full, off - minoff, TV)
         cols.append(jnp.sum(av * slab, axis=-1, keepdims=True))
     out_ref[:, :] = jnp.concatenate(cols, -1).astype(out_ref.dtype)
 
@@ -176,15 +215,13 @@ def banded_dot(a, b, offsets: Tuple[int, ...]):
     offsets = tuple(int(o) for o in offsets)
     B, L, D = a.shape
     K = len(offsets)
-    minoff, maxoff = min(offsets), max(offsets)
-    TV = min(128, L)
-    pad_lo, pad_hi = max(0, -minoff), max(0, maxoff + TV)
+    TV, pad_lo, pad_hi, shift, SLAB, n_blocks = _band_geometry(L, offsets)
     bp = jnp.pad(b, ((0, 0), (pad_lo, pad_hi), (0, 0)))
     Lp = bp.shape[1]
-    kernel = functools.partial(_dot_kernel, offsets=offsets, pad_lo=pad_lo, TV=TV)
+    kernel = functools.partial(_dot_kernel, offsets=offsets, shift=shift, TV=TV, SLAB=SLAB)
     return pl.pallas_call(
         kernel,
-        grid=(B, pl.cdiv(L, TV)),
+        grid=(B, n_blocks),
         in_specs=[
             pl.BlockSpec((None, TV, D), lambda bb, i: (bb, i, 0)),
             pl.BlockSpec((None, Lp, D), lambda bb, i: (bb, 0, 0)),

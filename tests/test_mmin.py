@@ -100,6 +100,9 @@ def test_dgcnv2_smoke(tmp_path):
     p = DGCNV2Params()
     p.dataset = "synthetic-cogmen-6"
     p.max_seq_len = 16
+    p.hidden_size = 16  # small dims: compile time, not math, is the cost
+    p["d_g"] = 16
+    p["d_p"] = 16
     p.iparams()
     tr = DGCNV2Trainer(p)
     tr.initialize()
@@ -123,6 +126,9 @@ def test_dgcnv2_dialogrnn_smoke(tmp_path):
     p.dataset = "synthetic-cogmen-6"
     p.max_seq_len = 16
     p.base_model = "DialogRNN"
+    p.hidden_size = 16
+    p["d_g"] = 16
+    p["d_p"] = 16
     p.iparams()
     tr = DGCNV2Trainer(p)
     tr.initialize()
@@ -183,6 +189,9 @@ def test_dgcnv2_daily_smoke(tmp_path):
     p.vocab_size = 100
     p.n_words = 8
     p.max_seq_len = 10
+    p.hidden_size = 16
+    p["d_g"] = 16
+    p["d_p"] = 16
     p.iparams()
     tr = DGCNV2DailyTrainer(p)
     tr.initialize()

@@ -62,7 +62,7 @@ def test_mmgcn_smoke(tmp_path):
     p = MMGCNParams()
     p.dataset = "synthetic-cogmen-6"
     p.max_seq_len = 16
-    p.gcn_layers = 4  # keep the smoke test fast; 64 in production
+    p.gcn_layers = 2  # keep the smoke test fast; 64 in production
     tr, loss, logits = _run_one_step(MMGCNTrainer, p, tmp_path)
     assert logits.shape == (8, 16, 6)
 
@@ -85,6 +85,8 @@ def test_dagerc_smoke(tmp_path):
     p = DAGERCParams()
     p.dataset = "synthetic-cogmen-6"
     p.max_seq_len = 16
+    p.hidden_dim = 32  # compile speed; production default 300
+    p.gnn_layers = 2
     tr, loss, logits = _run_one_step(DAGERCTrainer, p, tmp_path)
     assert logits.shape == (8, 16, 6)
 
@@ -122,7 +124,7 @@ def test_cim_mosei_multitask(tmp_path):
     p.epoch = 1
     p.train.batch_size = 8
     p.test.batch_size = 8
-    p.max_seq_len = 32
+    p.max_seq_len = 16
     p.iparams()
     assert p.apply_multi is True
     assert p.mosei_metric == "multiemo"

@@ -24,10 +24,10 @@ def test_x3d_expansion_math():
 
 def test_x3d_forward_shapes():
     m = _tiny()
-    x = jnp.zeros((2, 4, 32, 32, 3))
+    x = jnp.zeros((1, 2, 16, 16, 3))
     variables = jax.jit(lambda r, xx: m.init(r, xx, train=False))(jax.random.PRNGKey(0), x)
     out = m.apply(variables, x, train=False)
-    assert out.shape == (2, m.feat_dim)
+    assert out.shape == (1, m.feat_dim)
     assert np.isfinite(np.asarray(out)).all()
 
 
