@@ -147,13 +147,101 @@ class DAGLayer(nn.Module):
         return jnp.swapaxes(ys, 0, 1)  # [B, L, D]
 
 
+class DAGStack(nn.Module):
+    """All DAG layers pipelined in one scan (see DAGERCModule docstring).
+
+    Per layer the math is DAGLayer's exactly; the carry holds each layer's
+    (H1, V0, V1, K) buffers and the per-step python loop over layers is
+    unrolled into the scan body.
+    """
+
+    hidden_dim: int
+    n_layers: int
+
+    @nn.compact
+    def __call__(self, H0, adj, s_mask):
+        D = self.hidden_dim
+        B, L, _ = H0.shape
+        scale = 1.0 / jnp.sqrt(D)
+
+        layers = []
+        for l in range(self.n_layers):
+            nm = f"layer_{l}"
+            lp = {
+                "att_w": self.param(f"{nm}_att_w", _uniform_init(1.0 / jnp.sqrt(2 * D)), (2 * D, 1)),
+                "att_b": self.param(f"{nm}_att_b", _uniform_init(1.0 / jnp.sqrt(2 * D)), (1,)),
+                "wr0": self.param(f"{nm}_Wr0", _uniform_init(scale), (D, D)),
+                "wr1": self.param(f"{nm}_Wr1", _uniform_init(scale), (D, D)),
+            }
+            for cell in ("c", "p"):
+                for pn, shp in (
+                    ("w_ih", (3 * D, D)), ("w_hh", (3 * D, D)),
+                    ("b_ih", (3 * D,)), ("b_hh", (3 * D,)),
+                ):
+                    lp[f"gru_{cell}_{pn}"] = self.param(
+                        f"{nm}_gru_{cell}_{pn}", _uniform_init(scale), shp
+                    )
+            layers.append(lp)
+
+        H0s = jnp.swapaxes(H0, 0, 1)  # [L, B, D]
+        adjs = jnp.swapaxes(adj, 0, 1)  # [L, B, L]
+        sms = jnp.swapaxes(s_mask, 0, 1)  # [L, B, L]
+        zeros = jnp.zeros((B, L, D), H0.dtype)
+        zrow = jnp.zeros((B, L), H0.dtype)
+        init = tuple((zeros, zeros, zeros, zrow) for _ in range(self.n_layers))
+
+        def step(carry, inp):
+            h0_i, adj_i, sm_i, i = inp
+            h_cur = h0_i  # layer input at position i
+            new_carry = []
+            outs = []
+            for lp, (H1, V0, V1, Kp) in zip(layers, carry):
+                wq = lp["att_w"][:D, 0]
+                wk = lp["att_w"][D:, 0]
+                alpha = (h_cur @ wq)[:, None] + Kp + lp["att_b"][0]  # [B, L]
+                alpha = alpha - (1.0 - adj_i) * 1e30
+                attn = jax.nn.softmax(alpha, axis=-1)
+                Vsel = V0 * sm_i[..., None] + V1 * (1.0 - sm_i[..., None])
+                M = jnp.einsum("bl,bld->bd", attn, Vsel)
+                M = jnp.where(i == 0, 0.0, M)
+                xc = h_cur @ lp["gru_c_w_ih"].T + lp["gru_c_b_ih"]
+                C = gru_cell(xc, M, lp["gru_c_w_hh"], lp["gru_c_b_hh"])
+                xp = M @ lp["gru_p_w_ih"].T + lp["gru_p_b_ih"]
+                P = gru_cell(xp, h_cur, lp["gru_p_w_hh"], lp["gru_p_b_hh"])
+                h1 = C + P
+                new_carry.append(
+                    (
+                        H1.at[:, i].set(h1),
+                        V0.at[:, i].set(h1 @ lp["wr0"].T),
+                        V1.at[:, i].set(h1 @ lp["wr1"].T),
+                        Kp.at[:, i].set(h1 @ wk),
+                    )
+                )
+                outs.append(h1)
+                h_cur = h1  # feeds the next layer at this position
+            return tuple(new_carry), jnp.stack(outs)  # [n_layers, B, D]
+
+        _, ys = jax.lax.scan(step, init, (H0s, adjs, sms, jnp.arange(L)))
+        # ys: [L, n_layers, B, D] → per-layer [B, L, D]
+        ys = jnp.moveaxis(ys, 0, 2)  # [n_layers, B, L, D]
+        return [ys[l] for l in range(self.n_layers)]
+
+
 class DAGERCModule(nn.Module):
+    """fused=True (default) pipelines all gnn_layers inside ONE lax.scan
+    over the utterance axis: layer l+1 at step i depends only on layer l at
+    step i (causality), so the 4×L sequential iterations collapse to L
+    iterations doing 4 layers' work each — same math, ~4× less scan
+    bookkeeping (parity: test_dagerc_layer fused↔layered,
+    test_model_torch_parity vs the reference loops)."""
+
     emb_dim: int
     n_classes: int
     gnn_layers: int = 4
     hidden_dim: int = 300
     windowp: int = 1
     drop_rate: float = 0.2
+    fused: bool = True
 
     @nn.compact
     def __call__(self, batch, deterministic: bool = True):
@@ -167,9 +255,13 @@ class DAGERCModule(nn.Module):
         s_mask = graphs.same_speaker_mask(speakers)
 
         H0 = nn.relu(nn.Dense(self.hidden_dim, name="fc1")(x))
-        Hs = [H0]
-        for l in range(self.gnn_layers):
-            Hs.append(DAGLayer(self.hidden_dim, name=f"layer_{l}")(Hs[-1], adj, s_mask))
+        if self.fused:
+            ys = DAGStack(self.hidden_dim, self.gnn_layers, name="stack")(H0, adj, s_mask)
+            Hs = [H0] + list(ys)
+        else:
+            Hs = [H0]
+            for l in range(self.gnn_layers):
+                Hs.append(DAGLayer(self.hidden_dim, name=f"layer_{l}")(Hs[-1], adj, s_mask))
         H = jnp.concatenate(Hs + [x], axis=-1)
 
         # out_mlp (dagerc.py:99-106); attentive_node_features is identity

@@ -45,6 +45,7 @@ class MMGCNParams(MMBaseParams):
         self.gcn_layers = 64
         self.drop_rate = 0.4
         self.adj_impl = self.choice("structured", "dense")
+        self.gcn_remat = False  # measured v5e: remat loses on the full step
 
     def iparams(self):
         super().iparams()
@@ -73,6 +74,7 @@ class MMGCNModule(nn.Module):
     drop_rate: float = 0.4
     use_speaker: bool = True
     adj_impl: str = "structured"
+    gcn_remat: bool = False
 
     @nn.compact
     def __call__(self, batch, deterministic: bool = True):
@@ -121,7 +123,7 @@ class MMGCNModule(nn.Module):
                 nlayers=self.gcn_layers, nhidden=self.graph_hidden_size,
                 lamda=0.5, alpha=0.1,
                 dropout=self.drop_rate if not deterministic else 0.0,
-                name="gcnii",
+                remat=self.gcn_remat, name="gcnii",
             )(h, intra, cross, deterministic=deterministic)
             h = drop(h)
             h = jnp.concatenate([x, h], -1)  # [B, M, L, n_dim + hidden]
@@ -138,7 +140,7 @@ class MMGCNModule(nn.Module):
                 nlayers=self.gcn_layers, nhidden=self.graph_hidden_size,
                 lamda=0.5, alpha=0.1,
                 dropout=self.drop_rate if not deterministic else 0.0,
-                name="gcnii",
+                remat=self.gcn_remat, name="gcnii",
             )(h, adj, deterministic=deterministic)
             h = drop(h)
             h = jnp.concatenate([x, h], -1)  # use_residue → [B, M*L, n_dim + hidden]
@@ -165,6 +167,7 @@ class MMGCNTrainer(Trainer):
             gcn_layers=params.gcn_layers,
             drop_rate=params.drop_rate,
             adj_impl=params.adj_impl,
+            gcn_remat=bool(params.get("gcn_remat", False)),
         )
         self.tx = optim_factory.build_optim(params.optim)
 

@@ -164,6 +164,9 @@ class GCNIIStack(nn.Module):
     lamda: float = 0.5
     alpha: float = 0.1
     dropout: float = 0.0
+    remat: bool = False  # recompute layer activations in bwd; won an
+    # isolated fwd+bwd microbench (~11%) but LOST in the full mmgcn step
+    # on v5e (1222 vs 1457 dia/s) — off by default, togglable (--gcn_remat)
 
     @nn.compact
     def __call__(self, x, adj, deterministic: bool = True):
@@ -191,6 +194,8 @@ class GCNIIStack(nn.Module):
             out = theta * (support @ W) + (1 - theta) * r
             return nn.relu(out), None
 
+        if self.remat:
+            layer = jax.checkpoint(layer)
         # NOTE: adj is [B, v, u] here?  ops.graphs adjacency is u→v, but the
         # GCNII big-adj is symmetric after D^-1/2 A D^-1/2, so orientation
         # does not matter; we keep 'buv,bud->bvd' (aggregate over axis 1).
@@ -211,6 +216,7 @@ class GCNIIStackStructured(nn.Module):
     lamda: float = 0.5
     alpha: float = 0.1
     dropout: float = 0.0
+    remat: bool = False  # see GCNIIStack
 
     @nn.compact
     def __call__(self, x, intra, cross, deterministic: bool = True):
@@ -238,5 +244,7 @@ class GCNIIStackStructured(nn.Module):
             out = theta * (support @ W) + (1 - theta) * r
             return nn.relu(out), None
 
+        if self.remat:
+            layer = jax.checkpoint(layer)
         h, _ = jax.lax.scan(layer, h0, (Ws, thetas, keys))
         return h

@@ -76,3 +76,47 @@ def test_dag_layer_matches_reference_loop():
     want = reference_dag_layer(H, adj, s_mask, p)
     for b, ln in enumerate(lengths):
         np.testing.assert_allclose(got[b, :ln], want[b, :ln], rtol=1e-4, atol=1e-5)
+
+
+def test_dagerc_fused_matches_layered():
+    """DAGStack (one pipelined scan) ≡ sequential DAGLayer applications."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from erc_tpu.models.dagerc import DAGERCModule
+
+    rng = np.random.default_rng(0)
+    B, L, Din, D, layers = 3, 9, 11, 8, 3
+    lens = [9, 5, 7]
+    mask = np.zeros((B, L), np.float32)
+    for i, ln in enumerate(lens):
+        mask[i, :ln] = 1
+    batch = {
+        "input_tensor": rng.normal(size=(B, L, Din)).astype(np.float32),
+        "attention_mask": mask,
+        "speaker_ids": rng.integers(0, 2, size=(B, L)).astype(np.int32),
+        "text_length": np.array(lens, np.int32),
+        "label": rng.integers(0, 4, size=(B, L)).astype(np.int32),
+    }
+    kw = dict(emb_dim=Din, n_classes=4, gnn_layers=layers, hidden_dim=D,
+              windowp=1, drop_rate=0.0)
+    mf = DAGERCModule(fused=True, **kw)
+    vf = mf.init({"params": jax.random.PRNGKey(0)}, batch, deterministic=True)
+    out_f = np.asarray(mf.apply(vf, batch, deterministic=True))
+
+    # remap fused param names (stack/layer_{l}_<p>) → layered (layer_{l}/<p>)
+    pf = vf["params"]
+    pl = {k: v for k, v in pf.items() if k != "stack"}
+    for l in range(layers):
+        pl[f"layer_{l}"] = {
+            name: pf["stack"][f"layer_{l}_{name}"]
+            for name in (
+                "att_w", "att_b", "Wr0", "Wr1",
+                "gru_c_w_ih", "gru_c_w_hh", "gru_c_b_ih", "gru_c_b_hh",
+                "gru_p_w_ih", "gru_p_w_hh", "gru_p_b_ih", "gru_p_b_hh",
+            )
+        }
+    ml = DAGERCModule(fused=False, **kw)
+    out_l = np.asarray(ml.apply({"params": pl}, batch, deterministic=True))
+    np.testing.assert_allclose(out_f, out_l, atol=1e-5, rtol=1e-5)

@@ -188,6 +188,18 @@ def test_cogmen_forward_loss_parity():
     assert flax_loss(logits, batch) == pytest.approx(ref_loss, abs=ATOL)
 
 
+def _port_rnn(torch_rnn, flax_params, layers, bidirectional=True):
+    """flax BiRNN params (w_ih_l0[_reverse]...) → torch LSTM/GRU attrs."""
+    revs = ("", "_reverse") if bidirectional else ("",)
+    with torch.no_grad():
+        for layer in range(layers):
+            for rev in revs:
+                for nm in ("w_ih", "w_hh", "b_ih", "b_hh"):
+                    src = t_(flax_params[f"{nm}_l{layer}{rev}"])
+                    tgt = f"{'weight' if nm.startswith('w') else 'bias'}_{nm[2:]}_l{layer}{rev}"
+                    getattr(torch_rnn, tgt).copy_(src)
+
+
 # ==================================================================== DGCN
 def test_dgcn_forward_loss_parity():
     import jax
@@ -427,7 +439,14 @@ def test_dagerc_forward_loss_parity():
         )[0]  # [ln, D]
         Hs = [H0]
         for lidx in range(layers):
-            lp = p[f"layer_{lidx}"]
+            lp = {
+                name: p["stack"][f"layer_{lidx}_{name}"]
+                for name in (
+                    "att_w", "att_b", "Wr0", "Wr1",
+                    "gru_c_w_ih", "gru_c_w_hh", "gru_c_b_ih", "gru_c_b_hh",
+                    "gru_p_w_ih", "gru_p_w_hh", "gru_p_b_ih", "gru_p_b_hh",
+                )
+            }
             Hl = Hs[-1]
             C = gru(lp, "gru_c", Hl[0:1], None)
             P = gru(lp, "gru_p", torch.zeros(1, D), Hl[0:1])
@@ -459,3 +478,162 @@ def test_dagerc_forward_loss_parity():
     labels = valid_rows(np.asarray(batch["label"])[..., None], lens)[:, 0]
     ref_loss = float(F.cross_entropy(ref_logits, torch.from_numpy(labels).long()))
     assert flax_loss(logits, batch) == pytest.approx(ref_loss, abs=ATOL)
+
+# ===================================================================== CIM
+def test_cim_forward_loss_parity():
+    import jax
+
+    from erc_tpu.models.cim import CIMModule, masked_bce_with_logits
+
+    n_classes, H = 2, 12
+    batch, samples = erc_batch(n_classes=n_classes)
+    lens = [len(s["label"]) for s in samples]
+    mask = np.asarray(batch["attention_mask"])
+    rng = np.random.default_rng(3)
+    emo = (rng.random((mask.shape[0], mask.shape[1], 7)) < 0.4).astype(np.int32)
+
+    model = CIMModule(
+        text_dim=batch["text_feature"].shape[-1],
+        audio_dim=batch["audio_feature"].shape[-1],
+        visual_dim=batch["visual_feature"].shape[-1],
+        hidden_size=H, n_classes=n_classes,
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, deterministic=True,
+    )
+    logits2, logits7 = (np.asarray(o) for o in model.apply(variables, batch, deterministic=True))
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    # ---- torch replica (cim.py:64-173): packed 1-layer biGRUs → relu
+    # adapters → 6 pairwise attention products with the -10000 additive
+    # mask → dual heads on the [av,va,ta,tv,at,vt,a,v,t] concat
+    dense = {}
+    for m, key in (("a", "audio_feature"), ("v", "visual_feature"), ("t", "text_feature")):
+        x = t_(batch[key])
+        gru = torch.nn.GRU(x.shape[-1], H, num_layers=1, bidirectional=True,
+                           batch_first=True).eval()
+        _port_rnn(gru, p[f"rnn_{m}"], layers=1)
+        packed = torch.nn.utils.rnn.pack_padded_sequence(
+            x, torch.tensor(lens), batch_first=True, enforce_sorted=False
+        )
+        h, _ = torch.nn.utils.rnn.pad_packed_sequence(
+            gru(packed)[0], batch_first=True, total_length=x.shape[1]
+        )
+        ap = p[f"adapter_{m}"]
+        dense[m] = torch.relu(h @ t_(ap["kernel"]) + t_(ap["bias"]))
+
+    tm = t_(mask)
+
+    def att(x, y):
+        s = x @ y.transpose(-1, -2) + (1.0 - tm[:, None, :]) * -10000.0
+        return torch.softmax(s, -1) @ y * x
+
+    a, v, t = dense["a"], dense["v"], dense["t"]
+    merged = torch.cat(
+        [att(a, v), att(v, a), att(t, a), att(t, v), att(a, t), att(v, t), a, v, t], -1
+    )
+    ref2 = merged @ t_(p["cls2"]["kernel"]) + t_(p["cls2"]["bias"])
+    ref7 = merged @ t_(p["cls7"]["kernel"]) + t_(p["cls7"]["bias"])
+
+    np.testing.assert_allclose(
+        valid_rows(logits2, lens), valid_rows(ref2.numpy(), lens), atol=ATOL, rtol=RTOL
+    )
+    np.testing.assert_allclose(
+        valid_rows(logits7, lens), valid_rows(ref7.numpy(), lens), atol=ATOL, rtol=RTOL
+    )
+
+    # multitask loss: CE(logits2) + BCEWithLogits(logits7, emo) on valid rows
+    labels = valid_rows(np.asarray(batch["label"])[..., None], lens)[:, 0]
+    ref_loss = float(
+        F.cross_entropy(t_(valid_rows(ref2.numpy(), lens)), torch.from_numpy(labels).long())
+        + F.binary_cross_entropy_with_logits(
+            t_(valid_rows(ref7.numpy(), lens)),
+            t_(valid_rows(emo, lens).astype(np.float32)),
+        )
+    )
+    import jax.numpy as jnp
+
+    got_loss = float(
+        flax_loss(logits2, batch)
+        + masked_bce_with_logits(
+            jnp.asarray(logits7), jnp.asarray(emo, jnp.float32), jnp.asarray(mask)
+        )
+    )
+    assert got_loss == pytest.approx(ref_loss, abs=ATOL)
+
+
+# ==================================================================== MMIN
+def test_mmin_base_forward_loss_parity():
+    import jax
+    import jax.numpy as jnp
+
+    from erc_tpu.data.mmin import MMINBatcher, synthetic_mmin
+    from erc_tpu.models.mmin_models import MMINBaseModule
+    from erc_tpu.train.trainer import masked_cross_entropy
+
+    samples = synthetic_mmin(4, "train", n_train=5)
+    batch = MMINBatcher(max_audio_len=16, has_miss=False, pad_batch_to=8)(samples)
+
+    model = MMINBaseModule(n_classes=4)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, deterministic=True,
+    )
+    logits, fusion = model.apply(variables, batch, deterministic=True)
+    logits = np.asarray(logits)
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    # ---- torch replica (mmin_models.py:8-130, mmin_base.py:202-240)
+    def lstm_maxpool(xkey, node):
+        x = t_(batch[xkey])
+        lstm = torch.nn.LSTM(x.shape[-1], 128, num_layers=1, batch_first=True).eval()
+        _port_rnn(lstm, node["rnn"], layers=1, bidirectional=False)
+        out, _ = lstm(x)  # unpacked, exactly as the reference
+        return out.max(dim=1).values
+
+    def textcnn(xkey, node):
+        x = t_(batch[xkey])  # [B, W, D]
+        outs = []
+        for k in (3, 4, 5):
+            # flax Conv [k, D, C] → torch Conv2d [C, 1, k, D]
+            w = torch.from_numpy(
+                np.ascontiguousarray(np.transpose(node[f"conv{k}"]["kernel"], (2, 0, 1))[:, None])
+            )
+            b = t_(node[f"conv{k}"]["bias"])
+            c = F.relu(F.conv2d(x[:, None], w, b).squeeze(3))  # [B, C, W-k+1]
+            outs.append(F.max_pool1d(c, c.shape[2]).squeeze(2))
+        h = torch.cat(outs, 1)
+        e = node["embd"]
+        return F.relu(h @ t_(e["kernel"]) + t_(e["bias"]))
+
+    feats = torch.cat(
+        [
+            lstm_maxpool("audio_feature", p["netA"]),
+            lstm_maxpool("visual_feature", p["netV"]),
+            textcnn("text_feature", p["netL"]),
+        ],
+        -1,
+    )
+    h = feats
+    for i in range(2):
+        fc = p["netC"][f"fc{i}"]
+        h = torch.relu(h @ t_(fc["kernel"]) + t_(fc["bias"]))
+    fo = p["netC"]["fc_out"]
+    ref_logits = h @ t_(fo["kernel"]) + t_(fo["bias"])
+
+    np.testing.assert_allclose(logits, ref_logits.numpy(), atol=ATOL, rtol=RTOL)
+
+    # loss over sample_mask (padded rows drop out)
+    sel = np.asarray(batch["sample_mask"]) > 0
+    ref_loss = float(
+        F.cross_entropy(
+            t_(logits[sel]), torch.from_numpy(np.asarray(batch["label"])[sel]).long()
+        )
+    )
+    got = float(
+        masked_cross_entropy(
+            jnp.asarray(logits), jnp.asarray(batch["label"]), jnp.asarray(batch["sample_mask"])
+        )
+    )
+    assert got == pytest.approx(ref_loss, abs=ATOL)
