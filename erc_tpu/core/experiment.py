@@ -31,15 +31,18 @@ class Experiment:
         self.exp_name = exp_name
         self.root = root or exproot()
         if test_name is None:
-            test_name = self._create_test_name()
+            test_name = self.make_test_name()
         self.test_name = test_name
         os.makedirs(self.test_dir, exist_ok=True)
         os.makedirs(self.blob_dir, exist_ok=True)
 
-    def _create_test_name(self) -> str:
+    @staticmethod
+    def make_test_name() -> str:
         stamp = time.strftime("%y%m%d.%H%M%S")
         salt = hex(abs(hash((os.getpid(), time.time_ns()))) % 16**4)[2:].zfill(4)
         return f"{stamp}.{salt}t"
+
+    _create_test_name = make_test_name  # back-compat alias
 
     @property
     def test_dir(self) -> str:

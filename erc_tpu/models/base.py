@@ -47,6 +47,9 @@ class MMBaseParams(BaseParams):
         self.length_bucket = 0  # 0 = single bucket (pad to max_seq_len); >0 = bucketed
         self.sort_by_length = True
         self.steps_per_call = 1  # >1: lax.scan K steps per dispatch (9× at ERC sizes)
+        # bf16 fwd/bwd with f32 master params/optimizer (halves activation
+        # HBM traffic); float32 default for bit-level parity runs
+        self.compute_dtype = self.choice("float32", "bfloat16")
         self.eval_per_epoch = 1
         self.data_root = None
 

@@ -104,6 +104,7 @@ class CIMModule(nn.Module):
 
 
 def sigmoid_bce(logits, labels):
+    logits = logits.astype(jnp.float32)
     logp = jax.nn.log_sigmoid(logits)
     log1mp = jax.nn.log_sigmoid(-logits)
     return -(labels * logp + (1.0 - labels) * log1mp)

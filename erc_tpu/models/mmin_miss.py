@@ -36,7 +36,8 @@ ParamsType = MMINMissParams
 
 
 def masked_mse(a, b, mask):
-    per = ((a - b) ** 2).mean(-1)
+    per = ((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2).mean(-1)
+    mask = mask.astype(jnp.float32)
     return (per * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
 

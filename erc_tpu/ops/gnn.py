@@ -57,9 +57,10 @@ def relational_message_passing(
         )
         return acc + msg, None
 
-    acc0 = jnp.zeros((B, L, Dout), x.dtype)
+    # accumulate in f32 (matmul partials already are), cast at the boundary
+    acc0 = jnp.zeros((B, L, Dout), jnp.float32)
     out, _ = jax.lax.scan(body, acc0, jnp.arange(R))
-    return out
+    return out.astype(x.dtype)
 
 
 class DenseRGCN(nn.Module):
@@ -188,11 +189,13 @@ class GCNIIStack(nn.Module):
             if not deterministic and self.dropout > 0:
                 mask = jax.random.bernoulli(key, keep, h.shape)
                 h = jnp.where(mask, h / keep, 0.0)
-            hi = jnp.einsum("buv,bud->bvd", adj, h, preferred_element_type=jnp.float32)
+            hi = jnp.einsum(
+                "buv,bud->bvd", adj, h, preferred_element_type=jnp.float32
+            ).astype(h0.dtype)
             support = jnp.concatenate([hi, h0], -1)
             r = (1 - self.alpha) * hi + self.alpha * h0
             out = theta * (support @ W) + (1 - theta) * r
-            return nn.relu(out), None
+            return nn.relu(out).astype(h0.dtype), None
 
         if self.remat:
             layer = jax.checkpoint(layer)

@@ -65,12 +65,28 @@ def _batch_shape_key(batch: dict) -> tuple:
     )
 
 
+def cast_floats(tree, dtype):
+    """Cast float arrays of a pytree (params / batch) to a compute dtype."""
+    if dtype in (None, "float32", jnp.float32):
+        return tree
+
+    def c(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(c, tree)
+
+
 def masked_cross_entropy(logits, labels, mask, class_weights=None):
     """Mean CE over valid positions == F.cross_entropy on mask-selected nodes.
 
     With class weights, torch divides by the summed weight of the targets
     (reference: dgcn.py:124 semantics of F.cross_entropy(weight=...)).
+    Always reduces in float32 (bf16 compute_dtype casts back here).
     """
+    logits = logits.astype(jnp.float32)
+    mask = mask.astype(jnp.float32)
     safe_labels = jnp.maximum(labels, 0)
     logp = jax.nn.log_softmax(logits, -1)
     nll = -jnp.take_along_axis(logp, safe_labels[..., None], -1)[..., 0]
@@ -82,7 +98,7 @@ def masked_cross_entropy(logits, labels, mask, class_weights=None):
 
 def masked_accuracy(logits, labels, mask):
     pred = logits.argmax(-1)
-    hit = (pred == labels) * mask
+    hit = (pred == labels) * mask.astype(jnp.float32)
     return hit.sum() / jnp.maximum(mask.sum(), 1.0)
 
 
@@ -106,7 +122,20 @@ class Trainer:
         self.params = params
         self.logger = Logger()
         self.rng = RngPool(params.seed)
-        self.exp = Experiment(exp_name or f"erc_tpu.{type(self).__name__}")
+        # multi-process runs must share one test dir: derive the name on
+        # process 0 and broadcast (replaces the reference's ppid flag-file
+        # handshake, exp/experiment.py:72-88)
+        test_name = None
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            payload = np.zeros(24, np.uint8)
+            if meshlib.is_main_process():
+                b = Experiment.make_test_name().encode()[:24]
+                payload[: len(b)] = np.frombuffer(b, np.uint8)
+            payload = np.asarray(multihost_utils.broadcast_one_to_all(payload))
+            test_name = bytes(payload).rstrip(b"\x00").decode()
+        self.exp = Experiment(exp_name or f"erc_tpu.{type(self).__name__}", test_name=test_name)
         self.exp.record_start()
         self.logger.add_log_dir(self.exp.test_dir)
         self.database = BestMetrics(self.exp.test_file("metrics.json"))
@@ -230,11 +259,17 @@ class Trainer:
     # --------------------------------------------------------------- jit fns
     def _make_raw_train_step(self):
         tx = self.tx
+        # bf16 compute: params/batch cast to bf16 for fwd+bwd (activations
+        # at half the HBM traffic), master params + grads + optimizer stay
+        # f32, losses reduce in f32 (see masked_cross_entropy)
+        cdtype = self.params.get("compute_dtype", "float32")
 
         def train_step(state: TrainState, batch, key):
+            batch_c = cast_floats(batch, cdtype)
+
             def lf(p):
-                variables = {"params": p, **state.model_state}
-                return self.loss_and_metrics(variables, batch, key, train=True)
+                variables = {"params": cast_floats(p, cdtype), **state.model_state}
+                return self.loss_and_metrics(variables, batch_c, key, train=True)
 
             (loss, (mets, new_model_state)), grads = jax.value_and_grad(
                 lf, has_aux=True

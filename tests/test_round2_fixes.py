@@ -136,3 +136,34 @@ def test_steps_per_call_with_length_buckets(tmp_path):
     tr = COGMENTrainer(p)
     tr.train()  # old code: np.stack raised on mixed-L groups
     assert tr.global_steps > 0
+
+
+def test_bf16_compute_dtype_step(tmp_path):
+    """--compute_dtype=bfloat16: fwd/bwd run in bf16, master params and
+    optimizer state stay float32, loss is finite and close to the f32 run."""
+    import jax
+    import jax.numpy as jnp
+
+    os.environ["ERC_TPU_EXPROOT"] = str(tmp_path)
+    from erc_tpu.models.cogmen import COGMENParams, COGMENTrainer
+    from erc_tpu.parallel import mesh as meshlib
+
+    losses = {}
+    for dt in ("float32", "bfloat16"):
+        p = COGMENParams()
+        p.dataset = "synthetic-cogmen-6"
+        p.max_seq_len = 16
+        p.train.batch_size = 8
+        p.compute_dtype = dt
+        p.iparams()
+        tr = COGMENTrainer(p)
+        tr.initialize()
+        tr._build_step_fns()
+        batch = tr.example_batch(L=16, B=8)
+        sharded = meshlib.shard_batch(batch, tr.mesh)
+        state, mets = tr._train_step_fn(tr.state, sharded, tr.rng.key("d", 0))
+        losses[dt] = float(np.asarray(mets["Lall"]))
+        for leaf in jax.tree_util.tree_leaves(state.params):
+            assert leaf.dtype == jnp.float32  # master weights stay f32
+    assert np.isfinite(losses["bfloat16"])
+    assert losses["bfloat16"] == pytest.approx(losses["float32"], rel=0.05)
