@@ -204,3 +204,37 @@ def test_mosei_adapt(tmp_path):
     # no transcripts → sentence falls back to the audio dict
     assert sentence is audio
     np.testing.assert_allclose(interval["vidA"], [[0.0, 2.0], [2.0, 4.0]])
+
+
+# ---------------------------------------------------------------- openSMILE
+def test_opensmile_segment_parse_collect(tmp_path):
+    from erc_tpu.preprocess import opensmile as osm
+
+    # synthetic 100Hz wav with recognizable ramp
+    rate = 100
+    sig = np.arange(400, dtype=np.int16)
+    wav_root = tmp_path / "wavs"
+    wav_root.mkdir()
+    osm.write_wav(str(wav_root / "vidA.wav"), rate, sig)
+
+    segs = osm.segment_wavs(
+        {"vidA": np.array([[0.0, 1.0], [1.5, 3.0]], np.float32),
+         "missing": np.array([[0.0, 1.0]], np.float32)},
+        str(wav_root), str(tmp_path / "segs"),
+    )
+    assert [os.path.basename(s) for s in segs] == ["vidA_00.wav", "vidA_01.wav"]
+    r0, s0 = osm.read_wav(segs[0])
+    np.testing.assert_array_equal(s0, sig[0:100])
+    _, s1 = osm.read_wav(segs[1])
+    np.testing.assert_array_equal(s1, sig[150:300])
+
+    # csv parse: openSMILE layout (header, then data row, trailing newline)
+    csv_dir = tmp_path / "csv"
+    csv_dir.mkdir()
+    for key, i, vals in (("vidA", 0, "1.5;2.5"), ("vidA", 1, "3.0;4.0"), ("vidB", 0, "9.0;8.0")):
+        with open(csv_dir / f"{key}_{i:02d}.wav.csv", "w") as f:
+            f.write("name;f1;f2\n" + f"'unknown';{vals}\n")
+    feats = osm.collect_features(str(csv_dir))
+    assert set(feats) == {"vidA", "vidB"}
+    np.testing.assert_allclose(feats["vidA"], [[0, 1.5, 2.5], [0, 3.0, 4.0]])
+    assert feats["vidB"].shape == (1, 3)
