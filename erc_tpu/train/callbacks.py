@@ -116,6 +116,35 @@ class AutoResume(Callback):
             )
 
 
+class EvalFirst(Callback):
+    """Evaluate before the first train step (callbacks.py:605-619) — the
+    sanity check that a loaded checkpoint scores what it should."""
+
+    priority = 90  # after AutoLoadModel/AutoResume restore weights
+
+    def train_begin(self, tr):
+        tr.logger.info("EvalFirst: running test() before training")
+        tr.test()
+
+
+class FinalReport(Callback):
+    """End-of-run property dump (reference exphook.py:188-202): best
+    metrics + run location, printed and saved."""
+
+    def train_end(self, tr):
+        best = tr.database.todict()
+        tr.logger.info(f"final report: {tr.exp.exp_name}/{tr.exp.test_name}")
+        if best:
+            tr.logger.info(
+                "best: " + ", ".join(
+                    f"{k}={v:.5f}" for k, v in best.items()
+                    if isinstance(v, (int, float))
+                )
+            )
+        tr.exp.dump_info("report", {"best": best, "global_steps": tr.global_steps,
+                                    "epochs": tr.eidx + 1})
+
+
 class NaNGuard(Callback):
     """Abort (with checkpoint) on non-finite loss — the jit-era sanitizer."""
 

@@ -346,6 +346,9 @@ class Trainer:
 
         cbs.StopByCode().hook(self)
         cbs.KeyErrorSave().hook(self)
+        cbs.FinalReport().hook(self)
+        if params.get("eval_first"):
+            cbs.EvalFirst().hook(self)
         if params.get("pretrain_path"):
             cbs.AutoLoadModel().hook(self)
         if params.get("checkpoint_per_epoch"):
@@ -603,8 +606,6 @@ def main(trainer_cls, params_cls, argv: Optional[list] = None):
     params = params_cls()
     params.finalize(argv)
     trainer = trainer_cls(params)
-    if params.get("eval_first", False):
-        trainer.test()
-    trainer.train()
+    trainer.train()  # --eval_first runs test() at train_begin (EvalFirst cb)
     trainer.save_model()
     return trainer

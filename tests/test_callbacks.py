@@ -91,3 +91,14 @@ def test_step_timer():
     s = t.summary()
     assert s["steps"] == 3
     assert 0.005 < s["mean_s"] < 0.1
+
+
+def test_eval_first_and_final_report(tmp_path):
+    tr = _trainer(tmp_path, eval_first=True)
+    tr.train()
+    # EvalFirst ran test() before epoch 0 → best metrics exist even though
+    # eval_per_epoch=0; FinalReport wrote report.json
+    assert tr.database.todict().get("f1") is not None
+    rep = tr.exp.load_info("report")
+    assert rep is not None and rep["global_steps"] == tr.global_steps
+    assert "best" in rep
