@@ -42,7 +42,6 @@ class Experiment:
         salt = hex(abs(hash((os.getpid(), time.time_ns()))) % 16**4)[2:].zfill(4)
         return f"{stamp}.{salt}t"
 
-    _create_test_name = make_test_name  # back-compat alias
 
     @property
     def test_dir(self) -> str:

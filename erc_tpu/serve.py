@@ -79,6 +79,34 @@ class InferenceEngine:
         return results
 
 
+    def benchmark_latency(self, n: int = 100, L: int = 48) -> Dict[str, float]:
+        """Single-dialogue predict latency (ms): p50/p95/p99 over n requests
+        (predict fetches logits to host, so timing is end-to-end honest)."""
+        import time
+
+        from erc_tpu.data.synthetic import synthetic_erc
+
+        p = self.trainer.params
+        dialogues = synthetic_erc(
+            "custom", p.n_classes, "train", n_train=n, min_len=max(L - 16, 4),
+            max_len=L, text_dim=p.hidden_text, audio_dim=p.hidden_audio,
+            visual_dim=p.hidden_visual,
+        )
+        self.predict(dialogues[:2])  # warm compile
+        lat = []
+        for d in dialogues:
+            t0 = time.perf_counter()
+            self.predict([d])
+            lat.append((time.perf_counter() - t0) * 1e3)
+        lat.sort()
+        return {
+            "p50_ms": lat[len(lat) // 2],
+            "p95_ms": lat[int(len(lat) * 0.95)],
+            "p99_ms": lat[min(int(len(lat) * 0.99), len(lat) - 1)],
+            "mean_ms": sum(lat) / len(lat),
+        }
+
+
 def _serve_http(engine: InferenceEngine, host: str, port: int):
     from http.server import BaseHTTPRequestHandler, HTTPServer
 
