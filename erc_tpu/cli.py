@@ -42,6 +42,7 @@ def _extract_test(exp: str, test: str, output=None) -> str:
 
     root = exproot()
     output = output or f"{exp}.{test}.zip"
+    n = 0
     with zipfile.ZipFile(output, "w", zipfile.ZIP_DEFLATED) as z:
         for kind in ("experiment", "blob"):
             base = os.path.join(root, kind, exp, test)
@@ -49,6 +50,10 @@ def _extract_test(exp: str, test: str, output=None) -> str:
                 for name in files:
                     full = os.path.join(dirpath, name)
                     z.write(full, os.path.join(kind, os.path.relpath(full, base)))
+                    n += 1
+    if n == 0:  # typo'd exp/test must not produce a silent empty archive
+        os.remove(output)
+        raise SystemExit(f"no files found for {exp}/{test} under {root}")
     return output
 
 

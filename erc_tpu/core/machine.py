@@ -63,18 +63,29 @@ def _read_json(path: Optional[str]) -> dict:
     return {}
 
 
-@lru_cache(maxsize=1)
-def machine_config() -> dict:
-    cfg = _read_json(global_config_path())
-    cfg.update(_read_json(local_config_path()))
+@lru_cache(maxsize=8)
+def _config_cached(global_path: Optional[str], local_path: Optional[str]) -> dict:
+    cfg = _read_json(global_path)
+    cfg.update(_read_json(local_path))
     return cfg
 
 
+def machine_config() -> dict:
+    # keyed by the resolved paths: chdir into another repo (or `cli init`
+    # followed by use in the same process) picks up the right local rc
+    return _config_cached(global_config_path(), local_config_path())
+
+
+machine_config.cache_clear = _config_cached.cache_clear
+
+
 def cfg_get(key: str, env: Optional[str] = None, default=None):
-    """env var > local rc > global rc > default."""
+    """env var > local rc > global rc > default.  Explicit JSON nulls (the
+    `cli init` skeleton) count as missing."""
     if env and os.environ.get(env):
         return os.environ[env]
-    return machine_config().get(key, default)
+    v = machine_config().get(key)
+    return default if v is None else v
 
 
 # -------------------------------------------------------------- snapshots
@@ -123,6 +134,7 @@ def archive_snapshot(commit: str, output: str, repo_dir: Optional[str] = None) -
     root = git_root(repo_dir or ".")
     if root is None:
         return False
+    output = os.path.abspath(output)  # git runs with cwd=root
     fmt = "zip" if output.endswith(".zip") else "tar"
     r = _run_git(["archive", f"--format={fmt}", "-o", output, commit], cwd=root, timeout=120)
     return r.returncode == 0

@@ -75,16 +75,24 @@ def parse_is10_csv(text: str) -> np.ndarray:
 
 
 def collect_features(csv_dir: str) -> Dict[str, np.ndarray]:
-    """{video_key: [n_utterances, D]} from ``{key}_{i:02d}.wav.csv`` files,
-    ordered by segment index."""
+    """{video_key: [n_utterances, D]} from ``{key}_{index}.wav.csv`` files,
+    ordered by *numeric* segment index (any digit count — videos with
+    ≥100 utterances outgrow the 2-digit zero padding)."""
+    import re
+
+    seg_re = re.compile(r"^(.+)_(\d+)\.wav\.csv$")
     by_key: Dict[str, list] = {}
-    for name in sorted(os.listdir(csv_dir)):
-        if not name.endswith(".wav.csv"):
+    for name in os.listdir(csv_dir):
+        m = seg_re.match(name)
+        if not m:
             continue
-        key = name[: -len("_00.wav.csv")]
+        key, idx = m.group(1), int(m.group(2))
         with open(os.path.join(csv_dir, name)) as f:
-            by_key.setdefault(key, []).append(parse_is10_csv(f.read()))
-    return {k: np.stack(v).astype(np.float32) for k, v in by_key.items()}
+            by_key.setdefault(key, []).append((idx, parse_is10_csv(f.read())))
+    return {
+        k: np.stack([vec for _, vec in sorted(v)]).astype(np.float32)
+        for k, v in by_key.items()
+    }
 
 
 def main(argv=None):

@@ -25,12 +25,12 @@ Video decode uses cv2 (decord in the reference); any callable returning
 from __future__ import annotations
 
 import os
-import re
 from typing import Callable, Dict, List, Optional
 
 import numpy as np
 
-_TRANS_RE = re.compile(r"(Ses\S*) \[([0-9.]+)-([0-9.]+)\]: ?(.*)")
+# one transcript grammar for the whole codebase (see iemocap_raw)
+from erc_tpu.data.iemocap_raw import _TRANS_RE
 
 SESSIONS = ["Session1", "Session2", "Session3", "Session4", "Session5"]
 

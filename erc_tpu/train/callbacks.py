@@ -120,7 +120,9 @@ class EvalFirst(Callback):
     """Evaluate before the first train step (callbacks.py:605-619) — the
     sanity check that a loaded checkpoint scores what it should."""
 
-    priority = 90  # after AutoLoadModel/AutoResume restore weights
+    # callbacks fire in ascending priority: must be AFTER AutoLoadModel /
+    # AutoResume (100) so the restored weights are what gets evaluated
+    priority = 110
 
     def train_begin(self, tr):
         tr.logger.info("EvalFirst: running test() before training")

@@ -62,7 +62,9 @@ def main(argv=None):
     prefix = p.get("prefix") or p.backbone
     sub = "iemocap_4" if n_class == 4 else "iemocap"
     out = p.get("out") or os.path.join(root, "cogmen", sub, f"{prefix}_vfeat.pkl")
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+    out_dir = os.path.dirname(out)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
     with open(out, "wb") as f:
         pickle.dump(feats, f)
     n_ok = sum(1 for v in feats.values() if len(v))
