@@ -637,3 +637,251 @@ def test_mmin_base_forward_loss_parity():
         )
     )
     assert got == pytest.approx(ref_loss, abs=ATOL)
+
+
+# ============================================================ gradient parity
+def test_cogmen_grad_parity():
+    """Training-dynamics parity: dLoss/dparams agree between the flax model
+    (jax.grad through masked CE) and the differentiable torch replica of
+    the reference graph — catches wrong custom VJPs / stop-gradients that
+    forward-only checks miss."""
+    import jax
+    import jax.numpy as jnp
+
+    from erc_tpu.models.cogmen import COGMENModule
+    from erc_tpu.train.trainer import masked_cross_entropy
+
+    n_classes, S, wp, wf = 4, 2, 5, 5
+    batch, samples = erc_batch(n_classes=n_classes)
+    lens = [len(s["label"]) for s in samples]
+    Din = batch["input_tensor"].shape[-1]
+
+    model = COGMENModule(
+        input_size=Din, hidden_size=16, num_head=17, n_speakers=S,
+        n_classes=n_classes, wp=wp, wf=wf, graph_impl="dense",
+        encoder_mode="reference",
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, deterministic=True,
+    )
+
+    def loss_fn(params):
+        logits = model.apply({"params": params, **{k: v for k, v in variables.items() if k != "params"}},
+                             batch, deterministic=True)
+        return masked_cross_entropy(
+            logits, jnp.asarray(batch["label"]), jnp.asarray(batch["attention_mask"])
+        )
+
+    jgrads = jax.tree_util.tree_map(np.asarray, jax.grad(loss_fn)(variables["params"]))
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    # ---- differentiable torch replica (same math as the forward test)
+    with torch.enable_grad():
+        t = {}  # leaf tensors with grads, flax orientation (y = x @ kernel + b)
+        def leaf(*path):
+            node = p
+            for k in path:
+                node = node[k]
+            x = t_(node).requires_grad_()
+            t["/".join(path)] = x
+            return x
+
+        x = t_(valid_rows(batch["input_tensor"], lens))
+        h = x @ leaf("transformer_out", "kernel") + leaf("transformer_out", "bias")
+
+        edges, rels = [], []
+        off = 0
+        for d, ln in enumerate(lens):
+            spk = np.asarray(batch["speaker_ids"])[d]
+            for u, v in edge_perms(ln, wp, wf):
+                edges.append((u + off, v + off))
+                rels.append(rel_id(spk[u], spk[v], u, v, S))
+            off += ln
+
+        W = leaf("gcn", "conv1", "weight")
+        g = h @ leaf("gcn", "conv1", "root") + leaf("gcn", "conv1", "bias")
+        n = h.shape[0]
+        for r in range(2 * S * S):
+            acc = torch.zeros(n, W.shape[-1])
+            cnt = torch.zeros(n)
+            for (u, v), er in zip(edges, rels):
+                if er == r:
+                    acc = acc.index_add(0, torch.tensor([v]), (h[u] @ W[r])[None])
+                    cnt[v] += 1
+            g = g + acc / cnt.clamp(min=1.0).unsqueeze(-1)
+
+        q = g @ leaf("gcn", "conv2", "lin_query", "kernel") + leaf("gcn", "conv2", "lin_query", "bias")
+        k = g @ leaf("gcn", "conv2", "lin_key", "kernel") + leaf("gcn", "conv2", "lin_key", "bias")
+        v_ = g @ leaf("gcn", "conv2", "lin_value", "kernel") + leaf("gcn", "conv2", "lin_value", "bias")
+        skip = g @ leaf("gcn", "conv2", "lin_skip", "kernel") + leaf("gcn", "conv2", "lin_skip", "bias")
+        d_ = q.shape[-1]
+        by_target = {}
+        for u, v in edges:
+            by_target.setdefault(v, []).append(u)
+        rows = []
+        for vtx in range(n):
+            srcs = by_target[vtx]
+            scores = torch.stack([q[vtx] @ k[u] for u in srcs]) / np.sqrt(d_)
+            alpha = torch.softmax(scores, 0)
+            rows.append(skip[vtx] + sum(a * v_[u] for a, u in zip(alpha, srcs)))
+        g2 = torch.stack(rows)
+        g2 = g2 / np.sqrt(1.0 + 1e-5) * leaf("gcn", "bn", "scale") + leaf("gcn", "bn", "bias")
+        g2 = F.leaky_relu(g2, 0.01)
+        out = torch.relu(g2 @ leaf("cls_0", "kernel") + leaf("cls_0", "bias"))
+        ref_logits = out @ leaf("cls_1", "kernel") + leaf("cls_1", "bias")
+
+        labels = valid_rows(np.asarray(batch["label"])[..., None], lens)[:, 0]
+        loss = F.cross_entropy(ref_logits, torch.from_numpy(labels).long())
+        loss.backward()
+
+    checks = 0
+    def walk(node, path):
+        nonlocal checks
+        if isinstance(node, dict):
+            for kk, vv in node.items():
+                walk(vv, path + (kk,))
+            return
+        key = "/".join(path)
+        if key in t and t[key].grad is not None:
+            np.testing.assert_allclose(
+                node, t[key].grad.numpy(), atol=2e-5, rtol=2e-4,
+                err_msg=f"grad mismatch at {key}",
+            )
+            checks += 1
+
+    walk(jgrads, ())
+    assert checks >= 12  # every ported leaf's gradient was compared
+
+
+def test_dgcn_grad_parity():
+    """Gradients through the packed biLSTM scan, EdgeAtt windowed softmax,
+    basis RGCN with edge_norm, GraphConv and classifier all match torch
+    autograd on the ported replica."""
+    import jax
+    import jax.numpy as jnp
+
+    from erc_tpu.models.dgcn import DGCNModule
+    from erc_tpu.train.trainer import masked_cross_entropy
+
+    n_classes, S, wp, wf, hidden = 4, 2, 10, 10, 16
+    batch, samples = erc_batch(n_classes=n_classes)
+    lens = [len(s["label"]) for s in samples]
+    Din = batch["input_tensor"].shape[-1]
+
+    model = DGCNModule(
+        input_size=Din, hidden_size=hidden, n_speakers=S, wp=wp, wf=wf,
+        n_classes=n_classes, graph_impl="dense",
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, deterministic=True,
+    )
+
+    def loss_fn(params):
+        logits = model.apply({"params": params}, batch, deterministic=True)
+        return masked_cross_entropy(
+            logits, jnp.asarray(batch["label"]), jnp.asarray(batch["attention_mask"])
+        )
+
+    jgrads = jax.tree_util.tree_map(np.asarray, jax.grad(loss_fn)(variables["params"]))
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    with torch.enable_grad():
+        t = {}
+        def leaf(*path):
+            node = p
+            for k in path:
+                node = node[k]
+            x = t_(node).requires_grad_()
+            t["/".join(path)] = x
+            return x
+
+        # packed 2-layer biLSTM, weights shared with the flax names so grads
+        # map 1:1 (torch module params would need re-mapping)
+        lstm = torch.nn.LSTM(Din, hidden // 2, num_layers=2, bidirectional=True,
+                             batch_first=True, dropout=0.0)
+        for layer in range(2):
+            for rev in ("", "_reverse"):
+                for nm in ("w_ih", "w_hh", "b_ih", "b_hh"):
+                    tgt = f"{'weight' if nm.startswith('w') else 'bias'}_{nm[2:]}_l{layer}{rev}"
+                    src = leaf("rnn", f"{nm}_l{layer}{rev}")
+                    # share storage: torch Parameter wrapping our leaf
+                    delattr(lstm, tgt)
+                    setattr(lstm, tgt, src)
+        packed = torch.nn.utils.rnn.pack_padded_sequence(
+            t_(batch["input_tensor"]), torch.tensor(lens), batch_first=True,
+            enforce_sorted=False,
+        )
+        feats_pad, _ = torch.nn.utils.rnn.pad_packed_sequence(
+            lstm(packed)[0], batch_first=True,
+            total_length=batch["input_tensor"].shape[1],
+        )
+        feats = torch.cat([feats_pad[i, :l] for i, l in enumerate(lens)], 0)
+
+        W_att = leaf("edge_att", "weight")
+        alphas = []
+        for d, ln in enumerate(lens):
+            xd = feats_pad[d]
+            wx = xd @ W_att.T
+            rows = []
+            for j in range(ln):
+                s0, e0 = max(0, j - wp), min(ln - 1, j + wf)
+                score = wx[s0 : e0 + 1] @ xd[j]
+                probs = torch.softmax(score, 0)
+                rows.append(torch.cat([torch.zeros(s0), probs, torch.zeros(ln - e0 - 1)]))
+            alphas.append(torch.stack(rows))
+
+        edges, rels, norm_vals = [], [], []
+        off = 0
+        for d, ln in enumerate(lens):
+            spk = np.asarray(batch["speaker_ids"])[d]
+            for u, v in edge_perms(ln, wp, wf):
+                edges.append((u + off, v + off))
+                rels.append(rel_id(spk[u], spk[v], u, v, S))
+                norm_vals.append(alphas[d][u, v])
+            off += ln
+
+        W = torch.einsum("rb,bde->rde", leaf("conv1", "att"), leaf("conv1", "basis"))
+        g = feats @ leaf("conv1", "root") + leaf("conv1", "bias")
+        msgs = []
+        for (u, v), r, nr in zip(edges, rels, norm_vals):
+            msgs.append((v, nr * (feats[u] @ W[r])))
+        n = feats.shape[0]
+        agg1 = torch.zeros(n, W.shape[-1])
+        for v, m in msgs:
+            agg1 = agg1.index_add(0, torch.tensor([v]), m[None])
+        g = g + agg1
+
+        agg = torch.zeros(n, g.shape[-1])
+        for u, v in edges:
+            agg = agg.index_add(0, torch.tensor([v]), g[u][None])
+        g2 = (
+            agg @ leaf("conv2", "lin_rel", "kernel") + leaf("conv2", "lin_rel", "bias")
+            + g @ leaf("conv2", "lin_root", "kernel") + leaf("conv2", "lin_root", "bias")
+        )
+        h = torch.cat([feats, g2], -1)
+        h = torch.relu(h @ leaf("clf_lin1", "kernel") + leaf("clf_lin1", "bias"))
+        ref_logits = h @ leaf("clf_lin2", "kernel") + leaf("clf_lin2", "bias")
+
+        labels = valid_rows(np.asarray(batch["label"])[..., None], lens)[:, 0]
+        loss = F.cross_entropy(ref_logits, torch.from_numpy(labels).long())
+        loss.backward()
+
+    checks = 0
+    def walk(node, path):
+        nonlocal checks
+        if isinstance(node, dict):
+            for kk, vv in node.items():
+                walk(vv, path + (kk,))
+            return
+        key = "/".join(path)
+        if key in t and t[key].grad is not None:
+            np.testing.assert_allclose(
+                node, t[key].grad.numpy(), atol=3e-5, rtol=3e-4,
+                err_msg=f"grad mismatch at {key}",
+            )
+            checks += 1
+
+    walk(jgrads, ())
+    assert checks >= 20  # lstm (16) + edge_att + conv1 (3+) + conv2 + clf
