@@ -97,8 +97,17 @@ class Meter:
         return " | ".join(parts)
 
 
+def _is_device(v: Any) -> bool:
+    return type(v).__module__.startswith("jax")
+
+
 class _AggItem:
-    """Running aggregate of one key (reference: record.py AggItem)."""
+    """Running aggregate of one key (reference: record.py AggItem).
+
+    Device values accumulate ON DEVICE (async `+`/maximum/minimum) and are
+    materialized only in ``value()`` — a per-step ``np.asarray`` would cost
+    one blocking device→host round-trip per metric per step, serializing
+    the train loop behind the dispatch pipeline."""
 
     __slots__ = ("agg", "acc", "n", "last")
 
@@ -109,7 +118,8 @@ class _AggItem:
         self.last = None
 
     def add(self, v: Any):
-        v = _to_scalar(v)
+        if not _is_device(v):
+            v = _to_scalar(v)
         self.last = v
         self.n += 1
         if self.acc is None:
@@ -117,19 +127,24 @@ class _AggItem:
             return
         if self.agg in ("mean", "sum", "smean"):
             self.acc = self.acc + v
-        elif self.agg == "max":
-            self.acc = max(self.acc, v)
-        elif self.agg == "min":
-            self.acc = min(self.acc, v)
+        elif self.agg in ("max", "min"):
+            if _is_device(self.acc) or _is_device(v):
+                import jax.numpy as jnp
+
+                op = jnp.maximum if self.agg == "max" else jnp.minimum
+                self.acc = op(self.acc, v)
+            else:
+                self.acc = (max if self.agg == "max" else min)(self.acc, v)
         elif self.agg == "last":
             self.acc = v
 
     def value(self):
         if self.acc is None:
             return None
+        acc = _to_scalar(self.acc)
         if self.agg in ("mean", "smean"):
-            return self.acc / max(self.n, 1)
-        return self.acc
+            return acc / max(self.n, 1)
+        return acc
 
 
 class Record:

@@ -162,12 +162,19 @@ class LoaderSide:
 
 
 class PrefetchLoader:
-    """Background-thread prefetch wrapper: collation of batch N+1 overlaps
-    device execution of batch N (the torch-DataLoader-workers equivalent)."""
+    """Background-thread prefetch wrapper: collation — and, with
+    ``place_fn``, host→device transfer — of batch N+1 overlaps device
+    execution of batch N (the torch-DataLoader-workers equivalent).
 
-    def __init__(self, loader, depth: int = 2):
+    ``place_fn`` (e.g. ``mesh.shard_batch``) runs in the producer thread;
+    jax dispatch is thread-safe and uploads are asynchronous, so the
+    train loop sees device-resident batches and never waits on PCIe (or,
+    here, the tunnel)."""
+
+    def __init__(self, loader, depth: int = 2, place_fn=None):
         self.loader = loader
         self.depth = depth
+        self.place_fn = place_fn
 
     def __len__(self):
         return len(self.loader)
@@ -185,6 +192,8 @@ class PrefetchLoader:
         def producer():
             try:
                 for b in self.loader:
+                    if self.place_fn is not None:
+                        b = self.place_fn(b)
                     q.put(b)
                 q.put(_END)
             except BaseException as e:  # propagate, never truncate silently

@@ -69,9 +69,10 @@ def shard_batch(batch, mesh: Mesh):
     def _place(x):
         if x is None:
             return None
-        x = np.asarray(x)
-        if jax.process_count() > 1:
-            return jax.make_array_from_process_local_data(sh, x)
+        if not isinstance(x, jax.Array):  # already-placed arrays pass through
+            x = np.asarray(x)
+            if jax.process_count() > 1:
+                return jax.make_array_from_process_local_data(sh, x)
         return jax.device_put(x, sh)
 
     return jax.tree_util.tree_map(_place, batch)

@@ -328,7 +328,14 @@ class Trainer:
         if p.get("prefetch", True):
             from erc_tpu.data.loader import PrefetchLoader
 
-            return PrefetchLoader(loader)
+            # place batches on device from the producer thread so host→HBM
+            # transfer overlaps the previous step's compute (shard_batch is
+            # a no-op on already-placed arrays).  steps_per_call>1 stacks
+            # host batches first, so it keeps host-side prefetch only.
+            place = None
+            if split != "train" or int(p.get("steps_per_call", 1)) <= 1:
+                place = lambda b: meshlib.shard_batch(b, self.mesh)
+            return PrefetchLoader(loader, place_fn=place)
         return loader
 
     # ----------------------------------------------------------------- hooks
@@ -396,6 +403,7 @@ class Trainer:
                 self._fire("train_epoch_begin", eidx)
                 t0 = time.time()
                 n_dialogues = 0
+                log_every = max(int(p.get("log_every", 10)), 1)
                 spc = max(int(p.get("steps_per_call", 1)), 1)
                 group: List[dict] = []
                 bidx = -1
@@ -446,7 +454,7 @@ class Trainer:
                     self._fire("train_step_end", bidx, mets)
                     if self.stopped:
                         break
-                    if bidx % 10 == 0:
+                    if bidx % log_every == 0:  # forces a metric sync: keep sparse
                         self.logger.inline(f"e{eidx} b{bidx} {record}")
                 if group and not self.stopped:
                     for b in group:
