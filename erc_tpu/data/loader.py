@@ -161,6 +161,62 @@ class LoaderSide:
                 return
 
 
+class GroupedLoader:
+    """Group K consecutive same-shape batches into stacked [K, B, ...]
+    arrays for the trainer's multi-step scan (steps_per_call > 1).
+
+    Yields ``(stacked_or_batch, k)``: k > 1 means a stacked group, k == 1
+    a plain leftover batch (tail of the epoch, or a shape change under
+    length bucketing — np.stack needs identical shapes).  Wrapping this in
+    ``PrefetchLoader(place_fn=...)`` moves stack + upload off the step
+    loop's critical path."""
+
+    def __init__(self, loader, k: int):
+        self.loader = loader
+        self.k = max(int(k), 1)
+
+    def __len__(self):
+        return len(self.loader)
+
+    def set_epoch(self, epoch: int):
+        self.loader.set_epoch(epoch)
+
+    @staticmethod
+    def _shape_key(batch: dict) -> tuple:
+        return tuple(
+            (kk, tuple(np.asarray(v).shape))
+            for kk, v in sorted(batch.items())
+            if v is not None
+        )
+
+    def _stack(self, batches):
+        out = {}
+        for kk in batches[0]:
+            if batches[0][kk] is None:
+                out[kk] = None
+            else:
+                out[kk] = np.stack([np.asarray(b[kk]) for b in batches])
+        return out
+
+    def __iter__(self):
+        group = []
+        for batch in self.loader:
+            if group and self._shape_key(batch) != self._shape_key(group[0]):
+                yield from self._flush(group)
+                group = []
+            group.append(batch)
+            if len(group) == self.k:
+                yield self._stack(group), self.k
+                group = []
+        yield from self._flush(group)
+
+    def _flush(self, group):
+        # partial groups run single-step: a stacked group of length k' ≠ k
+        # would compile a second multi-step program
+        for b in group:
+            yield b, 1
+
+
 class PrefetchLoader:
     """Background-thread prefetch wrapper: collation — and, with
     ``place_fn``, host→device transfer — of batch N+1 overlaps device

@@ -46,7 +46,11 @@ class MMBaseParams(BaseParams):
         self.max_seq_len = 128
         self.length_bucket = 0  # 0 = single bucket (pad to max_seq_len); >0 = bucketed
         self.sort_by_length = True
-        self.steps_per_call = 1  # >1: lax.scan K steps per dispatch (9× at ERC sizes)
+        # >1: lax.scan K optimizer steps per dispatch (identical results).
+        # Wins when per-dispatch latency dominates (directly-attached
+        # chips); on slow host links the spc=1 placed-prefetch pipeline
+        # (uploads overlap compute) is faster — both compose with prefetch.
+        self.steps_per_call = 1
         # bf16 fwd/bwd with f32 master params/optimizer (halves activation
         # HBM traffic); float32 default for bit-level parity runs
         self.compute_dtype = self.choice("float32", "bfloat16")

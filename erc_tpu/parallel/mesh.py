@@ -57,14 +57,15 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh):
+def shard_batch(batch, mesh: Mesh, scan_dim: bool = False):
     """Place a host batch dict onto the mesh, batch-dim over `data`.
 
-    Works single- and multi-host: with multiple processes each host passes
-    its local shard and `jax.make_array_from_process_local_data` assembles
-    the global array.
+    scan_dim=True for stacked [K, B, ...] multi-step groups (the leading
+    scan axis replicates, axis 1 shards).  Works single- and multi-host:
+    with multiple processes each host passes its local shard and
+    `jax.make_array_from_process_local_data` assembles the global array.
     """
-    sh = batch_sharding(mesh)
+    sh = NamedSharding(mesh, P(None, "data")) if scan_dim else batch_sharding(mesh)
 
     def _place(x):
         if x is None:

@@ -57,12 +57,6 @@ def _stack_batches(batches: List[dict]) -> dict:
     return out
 
 
-def _batch_shape_key(batch: dict) -> tuple:
-    """Shape signature used to group stackable batches (length buckets can
-    make consecutive batches differ in L; np.stack would raise)."""
-    return tuple(
-        (k, tuple(np.asarray(v).shape)) for k, v in sorted(batch.items()) if v is not None
-    )
 
 
 def cast_floats(tree, dtype):
@@ -325,15 +319,23 @@ class Trainer:
             sort_by_length=bool(p.get("sort_by_length", True)),
             sort_chunk=int(p.get("sort_chunk", 8)),
         )
+        spc = max(int(p.get("steps_per_call", 1)), 1)
+        if split == "train" and spc > 1:
+            from erc_tpu.data.loader import GroupedLoader
+
+            loader = GroupedLoader(loader, spc)
         if p.get("prefetch", True):
             from erc_tpu.data.loader import PrefetchLoader
 
-            # place batches on device from the producer thread so host→HBM
-            # transfer overlaps the previous step's compute (shard_batch is
-            # a no-op on already-placed arrays).  steps_per_call>1 stacks
-            # host batches first, so it keeps host-side prefetch only.
-            place = None
-            if split != "train" or int(p.get("steps_per_call", 1)) <= 1:
+            # stack (grouped) + place on device from the producer thread so
+            # host→HBM transfer overlaps the previous step's compute
+            # (shard_batch passes through already-placed arrays)
+            if split == "train" and spc > 1:
+                place = lambda item: (
+                    meshlib.shard_batch(item[0], self.mesh, scan_dim=item[1] > 1),
+                    item[1],
+                )
+            else:
                 place = lambda b: meshlib.shard_batch(b, self.mesh)
             return PrefetchLoader(loader, place_fn=place)
         return loader
@@ -405,49 +407,30 @@ class Trainer:
                 n_dialogues = 0
                 log_every = max(int(p.get("log_every", 10)), 1)
                 spc = max(int(p.get("steps_per_call", 1)), 1)
-                group: List[dict] = []
-                bidx = -1
 
-                def run_group(batches):
-                    nonlocal n_dialogues
-                    keys = [self.rng.key("dropout", self.global_steps + i) for i in range(len(batches))]
-                    if len(batches) == 1:
-                        sharded = meshlib.shard_batch(batches[0], self.mesh)
-                        self.state, mets = self._train_step_fn(self.state, sharded, keys[0])
+                for bidx, item in enumerate(train_loader):
+                    # GroupedLoader yields (stacked_or_batch, k); plain
+                    # loaders yield bare batches (k = 1)
+                    batch, k = item if isinstance(item, tuple) else (item, 1)
+                    keys = [
+                        self.rng.key("dropout", self.global_steps + i)
+                        for i in range(k)
+                    ]
+                    if k == 1:
+                        sharded = meshlib.shard_batch(batch, self.mesh)
+                        self.state, mets = self._train_step_fn(
+                            self.state, sharded, keys[0]
+                        )
+                        n_dialogues += int(batch["attention_mask"].shape[0])
                     else:
-                        stacked = _stack_batches(batches)
-                        # stacked arrays are [K, B, ...]: batch dim (axis 1)
-                        # shards over 'data', the scan axis replicates
-                        from jax.sharding import NamedSharding, PartitionSpec
-
-                        sh = NamedSharding(self.mesh, PartitionSpec(None, "data"))
-                        sharded = {
-                            k: (jax.device_put(v, sh) if v is not None else None)
-                            for k, v in stacked.items()
-                        }
+                        sharded = meshlib.shard_batch(batch, self.mesh, scan_dim=True)
                         self.state, mets = self._multi_step_fn(
                             self.state, sharded, jnp.stack(keys)
                         )
-                        mets = {k: v.mean() for k, v in mets.items()}
-                    self.global_steps += len(batches)
-                    n_dialogues += sum(int(b["attention_mask"].shape[0]) for b in batches)
-                    return mets
-
-                for bidx, batch in enumerate(train_loader):
-                    # flush early if this batch's shapes differ from the
-                    # group's (length buckets → un-stackable batches)
-                    if group and _batch_shape_key(batch) != _batch_shape_key(group[0]):
-                        mets = run_group(group)
-                        m = Meter()
-                        m.update(mets)
-                        record.record(m)
-                        self._fire("train_step_end", bidx, mets)
-                        group = []
-                    group.append(batch)
-                    if len(group) < spc:
-                        continue
-                    mets = run_group(group)
-                    group = []
+                        mets = {mk: v.mean() for mk, v in mets.items()}
+                        shp = batch["attention_mask"].shape
+                        n_dialogues += int(shp[0]) * int(shp[1])
+                    self.global_steps += k
                     m = Meter()
                     m.update(mets)
                     record.record(m)
@@ -456,13 +439,6 @@ class Trainer:
                         break
                     if bidx % log_every == 0:  # forces a metric sync: keep sparse
                         self.logger.inline(f"e{eidx} b{bidx} {record}")
-                if group and not self.stopped:
-                    for b in group:
-                        mets = run_group([b])
-                        m = Meter()
-                        m.update(mets)
-                        record.record(m)
-                        self._fire("train_step_end", bidx, mets)
                 dt = time.time() - t0
                 self.logger.newline()
                 agg = record.agg()
