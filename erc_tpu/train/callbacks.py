@@ -58,6 +58,22 @@ class GlobalStepCheckpoint(Callback):
             tr.save_checkpoint()
 
 
+class KeypointCheckpoint(Callback):
+    """Permanent (never-pruned) `key.N.ckpt` saves every N epochs — the
+    reference's keypoint tier (saver.py:133-146) for runs that need
+    archaeology beyond the rotating checkpoints."""
+
+    def __init__(self, per_epoch: int = 10):
+        self.per_epoch = per_epoch
+
+    def train_epoch_end(self, tr, eidx, record):
+        if (eidx + 1) % self.per_epoch == 0:
+            tr.saver.save_keypoint(
+                tr.global_steps, tr._state_tree(),
+                meta={"eidx": eidx, "global_steps": tr.global_steps},
+            )
+
+
 class KeyErrorSave(Callback):
     """Checkpoint on KeyboardInterrupt (callbacks.py:548-569)."""
 

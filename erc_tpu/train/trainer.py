@@ -364,6 +364,8 @@ class Trainer:
             cbs.EpochCheckpoint(int(params.get("checkpoint_per_epoch"))).hook(self)
         if params.get("checkpoint_per_step"):
             cbs.GlobalStepCheckpoint(int(params.get("checkpoint_per_step"))).hook(self)
+        if params.get("keypoint_per_epoch"):
+            cbs.KeypointCheckpoint(int(params.get("keypoint_per_epoch"))).hook(self)
         if params.get("resume"):
             cbs.AutoResume().hook(self)
         if params.get("nan_guard"):

@@ -102,3 +102,16 @@ def test_eval_first_and_final_report(tmp_path):
     rep = tr.exp.load_info("report")
     assert rep is not None and rep["global_steps"] == tr.global_steps
     assert "best" in rep
+
+
+def test_keypoint_checkpoint(tmp_path):
+    import glob
+
+    tr = _trainer(tmp_path, keypoint_per_epoch=1)
+    tr.train()
+    keys = glob.glob(os.path.join(tr.saver.save_dir, "key.*.ckpt"))
+    assert len(keys) == 1  # one epoch → one permanent keypoint
+    # keypoints survive rotation pruning
+    for _ in range(6):
+        tr.save_checkpoint()
+    assert glob.glob(os.path.join(tr.saver.save_dir, "key.*.ckpt")) == keys
