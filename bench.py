@@ -104,10 +104,9 @@ def bench_tpu(batch_size=32, max_len=96, steps=32, steps_per_call=8,
 
     import jax
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec
 
+    from erc_tpu.data.loader import stack_batches
     from erc_tpu.parallel import mesh as meshlib
-    from erc_tpu.train.trainer import _stack_batches
 
     mod_name, pcls, tcls = MODEL_REGISTRY[model]
     mod = importlib.import_module(mod_name)
@@ -142,11 +141,9 @@ def bench_tpu(batch_size=32, max_len=96, steps=32, steps_per_call=8,
         if K == 1:
             groups.append(meshlib.shard_batch(batches[0], tr.mesh))
         else:
-            sh = NamedSharding(tr.mesh, PartitionSpec(None, "data"))
-            groups.append({
-                k: (jax.device_put(v, sh) if v is not None else None)
-                for k, v in _stack_batches(batches).items()
-            })
+            groups.append(
+                meshlib.shard_batch(stack_batches(batches), tr.mesh, scan_dim=True)
+            )
     _force(groups)  # uploads must land on device before the clock starts
     if K == 1:
         fn = lambda st, i: tr._train_step_fn(

@@ -161,6 +161,17 @@ class LoaderSide:
                 return
 
 
+def stack_batches(batches) -> dict:
+    """Stack K same-shape host batches → {key: [K, B, ...]} (None passes)."""
+    out = {}
+    for k in batches[0]:
+        if batches[0][k] is None:
+            out[k] = None
+        else:
+            out[k] = np.stack([np.asarray(b[k]) for b in batches])
+    return out
+
+
 class GroupedLoader:
     """Group K consecutive same-shape batches into stacked [K, B, ...]
     arrays for the trainer's multi-step scan (steps_per_call > 1).
@@ -176,6 +187,8 @@ class GroupedLoader:
         self.k = max(int(k), 1)
 
     def __len__(self):
+        # NB: the underlying batch count == total optimizer steps, NOT the
+        # number of yielded items (~len/k plus leftovers)
         return len(self.loader)
 
     def set_epoch(self, epoch: int):
@@ -189,14 +202,7 @@ class GroupedLoader:
             if v is not None
         )
 
-    def _stack(self, batches):
-        out = {}
-        for kk in batches[0]:
-            if batches[0][kk] is None:
-                out[kk] = None
-            else:
-                out[kk] = np.stack([np.asarray(b[kk]) for b in batches])
-        return out
+    _stack = staticmethod(stack_batches)
 
     def __iter__(self):
         group = []

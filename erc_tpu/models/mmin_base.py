@@ -99,11 +99,12 @@ class MMINBaseTrainer(Trainer):
         loss = masked_cross_entropy(logits, batch["label"], mask)
         return loss, ({"Lall": loss, "Acc": masked_accuracy(logits, batch["label"], mask)}, {})
 
-    def _build_step_fns(self):
-        super()._build_step_fns()
+    def _make_raw_train_step(self):
+        """EMA update composed into the raw step, so BOTH the single-step
+        jit and the steps_per_call multi-step scan maintain the shadow."""
+        raw_step = super()._make_raw_train_step()
         if not self.params.get("ema", True):
-            return
-        raw_step = self._make_raw_train_step()
+            return raw_step
         alpha = float(self.params.get("ema_alpha", 0.999))
 
         def step_with_ema(state, batch, key):
@@ -114,7 +115,12 @@ class MMINBaseTrainer(Trainer):
             )
             return new_state.replace(ema_params=new_ema), mets
 
-        self._train_step_fn = jax.jit(step_with_ema, donate_argnums=0)
+        return step_with_ema
+
+    def _build_step_fns(self):
+        super()._build_step_fns()
+        if not self.params.get("ema", True):
+            return
 
         # eval returns (raw, ema) logits in one dispatch: the reference
         # evaluates the EMA shadow at every test/eval step and reports Acc2
@@ -144,9 +150,13 @@ class MMINBaseTrainer(Trainer):
         ema_logits = None
         if isinstance(logits, tuple):
             logits, ema_logits = logits
-        mask = np.asarray(batch["sample_mask"]) > 0
-        labels = np.asarray(batch["label"])
-        pred = np.asarray(logits).argmax(-1)
+        mask, labels, logits, ema_logits = jax.device_get(
+            [batch["sample_mask"], batch["label"], logits, ema_logits]
+        )
+        mask = np.asarray(mask) > 0
+        labels = np.asarray(labels)
+        logits = np.asarray(logits)
+        pred = logits.argmax(-1)
         sel = mask & (labels >= 0)
         self._true.extend(labels[sel].tolist())
         self._pred.extend(pred[sel].tolist())
@@ -168,7 +178,7 @@ class MMINBaseTrainer(Trainer):
     def evaluate(self):
         loader = getattr(self, "_val_loader", None)
         if loader is None:
-            loader = self._val_loader = self.make_loader("val")
+            loader = self._val_loader = self._pipeline_eval(self.make_loader("val"))
         rec = Record("eval")
         hits2 = n2 = 0
         for batch in loader:

@@ -52,9 +52,13 @@ class EpochCheckpoint(Callback):
 class GlobalStepCheckpoint(Callback):
     def __init__(self, per_step: int = 1000):
         self.per_step = per_step
+        self._last = 0
 
     def train_step_end(self, tr, bidx, mets):
-        if tr.global_steps > 0 and tr.global_steps % self.per_step == 0:
+        # threshold, not modulo: global_steps advances by steps_per_call
+        # per iteration and may never hit an exact multiple
+        if tr.global_steps - self._last >= self.per_step:
+            self._last = tr.global_steps
             tr.save_checkpoint()
 
 
@@ -88,9 +92,11 @@ class StopByCode(Callback):
 
     def __init__(self, check_every: int = 100):
         self.check_every = check_every
+        self._last = 0
 
     def train_step_end(self, tr, bidx, mets):
-        if tr.global_steps % self.check_every == 0:
+        if tr.global_steps - self._last >= self.check_every or tr.global_steps == 0:
+            self._last = tr.global_steps
             if os.path.exists(os.path.join(tr.exp.test_dir, ".stop")):
                 tr.logger.info(".stop file found — stopping")
                 tr.stopped = True
@@ -168,10 +174,12 @@ class NaNGuard(Callback):
 
     def __init__(self, check_every: int = 10):
         self.check_every = check_every
+        self._last = 0
 
     def train_step_end(self, tr, bidx, mets):
-        if tr.global_steps % self.check_every != 0:
+        if tr.global_steps - self._last < self.check_every:
             return
+        self._last = tr.global_steps
         v = mets.get("Lall")
         if v is not None and not np.isfinite(float(np.asarray(v))):
             tr.save_checkpoint()

@@ -46,15 +46,9 @@ class TrainState(struct.PyTreeNode):
     ema_params: Any = None  # EMA shadow (mmin: lumo.contrib EMA α=0.999)
 
 
-def _stack_batches(batches: List[dict]) -> dict:
-    """Stack K same-shape host batches → {key: [K, B, ...]} (None passes)."""
-    out = {}
-    for k in batches[0]:
-        if batches[0][k] is None:
-            out[k] = None
-        else:
-            out[k] = np.stack([np.asarray(b[k]) for b in batches])
-    return out
+# one stacking implementation for the codebase (loader owns it; bench and
+# tests import it from here for historical reasons)
+from erc_tpu.data.loader import stack_batches as _stack_batches  # noqa: E402
 
 
 
@@ -306,11 +300,14 @@ class Trainer:
 
     # ------------------------------------------------------------------ data
     def make_loader(self, split: str) -> DialogueLoader:
+        """Raw batch loader for a split; subclasses override freely — the
+        grouping/prefetch/placement pipeline is applied by train()/test()
+        via _pipeline_* so every trainer gets it."""
         p = self.params
         root = p.get("data_root") or get_root(p.dataset)
         samples = pick_datas(root, p.dataset, split=split)
         bs = p.train.batch_size if split == "train" else p.test.batch_size
-        loader = DialogueLoader(
+        return DialogueLoader(
             samples,
             self.batcher(int(bs)),
             batch_size=int(bs),
@@ -319,25 +316,37 @@ class Trainer:
             sort_by_length=bool(p.get("sort_by_length", True)),
             sort_chunk=int(p.get("sort_chunk", 8)),
         )
+
+    def _pipeline_train(self, loader):
+        """Wrap a raw train loader: K-step grouping (steps_per_call) and
+        producer-thread stacking + device placement, so host→HBM transfer
+        overlaps the previous step's compute."""
+        p = self.params
         spc = max(int(p.get("steps_per_call", 1)), 1)
-        if split == "train" and spc > 1:
+        if spc > 1:
             from erc_tpu.data.loader import GroupedLoader
 
             loader = GroupedLoader(loader, spc)
         if p.get("prefetch", True):
             from erc_tpu.data.loader import PrefetchLoader
 
-            # stack (grouped) + place on device from the producer thread so
-            # host→HBM transfer overlaps the previous step's compute
-            # (shard_batch passes through already-placed arrays)
-            if split == "train" and spc > 1:
+            if spc > 1:
                 place = lambda item: (
                     meshlib.shard_batch(item[0], self.mesh, scan_dim=item[1] > 1),
                     item[1],
                 )
             else:
                 place = lambda b: meshlib.shard_batch(b, self.mesh)
-            return PrefetchLoader(loader, place_fn=place)
+            loader = PrefetchLoader(loader, place_fn=place)
+        return loader
+
+    def _pipeline_eval(self, loader):
+        if self.params.get("prefetch", True):
+            from erc_tpu.data.loader import PrefetchLoader
+
+            return PrefetchLoader(
+                loader, place_fn=lambda b: meshlib.shard_batch(b, self.mesh)
+            )
         return loader
 
     # ----------------------------------------------------------------- hooks
@@ -395,7 +404,7 @@ class Trainer:
         heartbeat = None
         if p.get("heartbeat", True):
             heartbeat = self.exp.start_heartbeat()
-        train_loader = self.make_loader("train")
+        train_loader = self._pipeline_train(self.make_loader("train"))
         self._fire("train_begin")
         try:
             # start at self.eidx so AutoResume continues instead of
@@ -408,7 +417,18 @@ class Trainer:
                 t0 = time.time()
                 n_dialogues = 0
                 log_every = max(int(p.get("log_every", 10)), 1)
-                spc = max(int(p.get("steps_per_call", 1)), 1)
+
+                def global_rows(batch_, axis) -> int:
+                    """Global dialogue count of a batch dim: placed jax
+                    arrays already carry the global shape; host arrays are
+                    per-process local slices."""
+                    arr = batch_.get("attention_mask")
+                    if arr is None:
+                        arr = batch_["sample_mask"]  # utterance-level (mmin)
+                    b = int(arr.shape[axis])
+                    if not isinstance(arr, jax.Array):
+                        b *= jax.process_count()
+                    return b
 
                 for bidx, item in enumerate(train_loader):
                     # GroupedLoader yields (stacked_or_batch, k); plain
@@ -423,15 +443,14 @@ class Trainer:
                         self.state, mets = self._train_step_fn(
                             self.state, sharded, keys[0]
                         )
-                        n_dialogues += int(batch["attention_mask"].shape[0])
+                        n_dialogues += global_rows(batch, 0)
                     else:
                         sharded = meshlib.shard_batch(batch, self.mesh, scan_dim=True)
                         self.state, mets = self._multi_step_fn(
                             self.state, sharded, jnp.stack(keys)
                         )
                         mets = {mk: v.mean() for mk, v in mets.items()}
-                        shp = batch["attention_mask"].shape
-                        n_dialogues += int(shp[0]) * int(shp[1])
+                        n_dialogues += k * global_rows(batch, 1)
                     self.global_steps += k
                     m = Meter()
                     m.update(mets)
@@ -481,10 +500,18 @@ class Trainer:
         self._nll_n += int(len(lab))
 
     def test_step_collect(self, batch, logits) -> None:
-        """Gather masked predictions on host (mmbase.py:186-194)."""
-        mask = np.asarray(batch["attention_mask"]) > 0
-        labels = np.asarray(batch["label"])
-        pred = np.asarray(logits).argmax(-1)
+        """Gather masked predictions on host (mmbase.py:186-194).
+
+        One device_get for (mask, labels, logits): placed eval batches are
+        device-resident and separate np.asarray calls would each pay a
+        blocking round-trip."""
+        mask, labels, lg = jax.device_get(
+            [batch["attention_mask"], batch["label"], logits]
+        )
+        mask = np.asarray(mask) > 0
+        labels = np.asarray(labels)
+        logits = np.asarray(lg)
+        pred = logits.argmax(-1)
         sel = mask & (labels >= 0)
         self._true.extend(labels[sel].tolist())
         self._pred.extend(pred[sel].tolist())
@@ -515,7 +542,7 @@ class Trainer:
             self._build_step_fns()
         loader = getattr(self, "_test_loader", None)
         if loader is None:
-            loader = self._test_loader = self.make_loader("test")
+            loader = self._test_loader = self._pipeline_eval(self.make_loader("test"))
         self._true, self._pred = [], []
         self._nll_sum, self._nll_n = 0.0, 0
         self._fire("test_begin")

@@ -73,6 +73,7 @@ def test_nan_guard(tmp_path):
     cb = NaNGuard(check_every=1).hook(tr)
     tr.global_steps = 1
     cb.train_step_end(tr, 0, {"Lall": np.float32(1.0)})  # fine
+    tr.global_steps = 2  # threshold cadence: advance past the last check
     with pytest.raises(FloatingPointError):
         cb.train_step_end(tr, 0, {"Lall": np.float32("nan")})
     # checkpoint was written before raising

@@ -214,3 +214,30 @@ def test_reverse_padded():
     out = np.asarray(reverse_padded(jnp.asarray(x), jnp.asarray(mask)))
     np.testing.assert_array_equal(out[0, :4, 0], [3, 2, 1, 0])
     np.testing.assert_array_equal(out[0, 4:, 0], 0)
+
+
+def test_mmin_ema_maintained_under_steps_per_call(tmp_path):
+    """steps_per_call>1 trains through the multi-step scan — the EMA shadow
+    must still update (it's composed into _make_raw_train_step, not bolted
+    onto the single-step jit only)."""
+    import os
+
+    os.environ["ERC_TPU_EXPROOT"] = str(tmp_path)
+    from erc_tpu.models.mmin_base import MMINBaseParams, MMINBaseTrainer
+
+    p = MMINBaseParams()
+    p.dataset = "synthetic-mmin-4"
+    p.max_audio_len = 32
+    p.epoch = 1
+    p.steps_per_call = 2
+    p.eval_per_epoch = 0
+    p.iparams()
+    tr = MMINBaseTrainer(p)
+    tr.on_train_epoch_end = lambda *a, **k: None  # skip the val evaluate
+    tr.train()
+    assert tr.global_steps >= 2
+    diffs = jax.tree_util.tree_map(
+        lambda e, q: float(np.abs(np.asarray(e) - np.asarray(q)).max()),
+        tr.state.ema_params, tr.state.params,
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0  # shadow moved
