@@ -167,3 +167,50 @@ def test_bf16_compute_dtype_step(tmp_path):
             assert leaf.dtype == jnp.float32  # master weights stay f32
     assert np.isfinite(losses["bfloat16"])
     assert losses["bfloat16"] == pytest.approx(losses["float32"], rel=0.05)
+
+
+def test_grouped_loader_grouping_and_flush():
+    from erc_tpu.data.loader import GroupedLoader, stack_batches
+
+    def mk(L, tag):
+        return {"attention_mask": np.full((2, L), tag, np.float32), "none_key": None}
+
+    class Fake:
+        def __iter__(self):
+            # 3 same-shape, shape change, 2 same-shape, tail single
+            yield from [mk(4, 0), mk(4, 1), mk(4, 2), mk(6, 3), mk(6, 4), mk(4, 5)]
+
+        def __len__(self):
+            return 6
+
+    items = list(GroupedLoader(Fake(), k=2))
+    kinds = [k for _, k in items]
+    # [g(0,1)], then 2 alone? no: 2 waits for a partner, 3 changes shape →
+    # flush 2 as single; (3,4) group; 5 tail single
+    assert kinds == [2, 1, 2, 1]
+    g0, _ = items[0]
+    assert g0["attention_mask"].shape == (2, 2, 4)
+    np.testing.assert_array_equal(g0["attention_mask"][0], 0)
+    np.testing.assert_array_equal(g0["attention_mask"][1], 1)
+    assert g0["none_key"] is None
+    assert items[1][0]["attention_mask"][0, 0] == 2  # flushed single
+    assert items[3][0]["attention_mask"][0, 0] == 5  # tail single
+
+    # stack_batches shared implementation
+    s = stack_batches([mk(4, 7), mk(4, 8)])
+    assert s["attention_mask"].shape == (2, 2, 4) and s["none_key"] is None
+
+
+def test_prefetch_place_fn_applied():
+    from erc_tpu.data.loader import PrefetchLoader
+
+    class Fake:
+        def __len__(self):
+            return 2
+
+        def __iter__(self):
+            yield {"x": 1}
+            yield {"x": 2}
+
+    out = list(PrefetchLoader(Fake(), place_fn=lambda b: {"x": b["x"] * 10}))
+    assert [b["x"] for b in out] == [10, 20]
