@@ -334,9 +334,27 @@ def run_matrix(args):
         "so steady-state is dispatch/HBM-bound, not MXU-bound — MFU is "
         "reported for honesty, not as the optimization target; "
         "dialogues/s/chip is the product metric.",
+        "",
+        "Timing methodology: the tunnel's `block_until_ready` can return "
+        "before remote execution completes and `device_put` uploads "
+        "lazily; this matrix forces all uploads before the clock and ends "
+        "timing with a scalar fetch of the final step's metrics "
+        "(`bench._force`).  Run-to-run variance through the tunnel is "
+        "~10-15%.",
     ]
+    # keep hand-measured analysis sections across regenerations
+    marker = "<!-- analysis -->"
+    extra = ""
+    try:
+        old = open("BENCH_MATRIX.md").read()
+        if marker in old:
+            extra = old[old.index(marker):]
+    except OSError:
+        pass
     with open("BENCH_MATRIX.md", "w") as f:
         f.write("\n".join(lines) + "\n")
+        if extra:
+            f.write("\n" + extra)
     print("wrote BENCH_MATRIX.md")
 
 
