@@ -111,3 +111,29 @@ def test_mosei_sentiment_bins():
     ml = readers.create_emotion_label(emo)
     np.testing.assert_array_equal(ml[0], [0, 0, 0, 0, 0, 0, 1])  # empty → class 6
     np.testing.assert_array_equal(ml[1], [1, 0, 1, 0, 0, 0, 0])
+
+
+def test_train_end_to_end_from_disk_dump(tmp_path, monkeypatch):
+    """The real-data path: a reference-layout pickle on disk reaches the
+    trainer through ERC_TPU_DATA_ROOT → get_root → pick_datas → ERCBatcher
+    → train() + test() (the exact flow a user with the licensed dumps
+    runs)."""
+    data_root = tmp_path / "data"
+    _mk_iemocap(str(data_root / "iemocap"), n_dial=6)
+    monkeypatch.setenv("ERC_TPU_DATA_ROOT", str(data_root))
+    monkeypatch.setenv("ERC_TPU_EXPROOT", str(tmp_path / "exp"))
+
+    from erc_tpu.models.cogmen import COGMENParams, COGMENTrainer
+
+    p = COGMENParams()
+    p.dataset = "iemocap-cogmen-6"
+    p.epoch = 1
+    p.train.batch_size = 4
+    p.test.batch_size = 4
+    p.max_seq_len = 8
+    p.iparams()
+    assert p.hidden_all == 712  # dataset-grammar dims (100+100+512)
+    tr = COGMENTrainer(p)
+    tr.train()
+    res = tr.test()
+    assert tr.global_steps > 0 and "f1" in res
