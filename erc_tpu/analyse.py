@@ -93,3 +93,21 @@ def format_table(rows: List[Dict], columns: Optional[List[str]] = None) -> str:
             )
         )
     return "\n".join(lines)
+
+
+def load_tb_events(log_dir: str) -> Dict[str, List[tuple]]:
+    """Parse tensorboard event files → {tag: [(step, value), ...]}.
+
+    Reference: lumo/vis/parser_tb.py — the TB-event reader behind
+    `lumo board`.  Runs with TensorBoardCallback's output; the jsonl
+    metric board remains the primary (directly greppable) store."""
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    acc = EventAccumulator(log_dir)
+    acc.Reload()
+    out: Dict[str, List[tuple]] = {}
+    for tag in acc.Tags().get("scalars", []):
+        out[tag] = [(e.step, e.value) for e in acc.Scalars(tag)]
+    return out

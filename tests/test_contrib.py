@@ -97,3 +97,21 @@ def test_analyse_collect(tmp_path):
     assert rows and rows[0]["f1"] == 0.8
     table = analyse.format_table(rows)
     assert "expA" in table and "0.8000" in table
+
+
+def test_load_tb_events(tmp_path):
+    """TB-event parsing (reference lumo/vis/parser_tb.py equivalent)."""
+    from torch.utils.tensorboard import SummaryWriter
+
+    from erc_tpu import analyse
+
+    w = SummaryWriter(str(tmp_path))
+    for step, v in enumerate([0.5, 0.25, 0.125]):
+        w.add_scalar("train/Lall", v, step)
+    w.flush()
+    w.close()
+    events = analyse.load_tb_events(str(tmp_path))
+    assert "train/Lall" in events
+    steps, vals = zip(*events["train/Lall"])
+    assert steps == (0, 1, 2)
+    assert abs(vals[2] - 0.125) < 1e-6
