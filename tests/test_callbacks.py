@@ -116,3 +116,24 @@ def test_keypoint_checkpoint(tmp_path):
     for _ in range(6):
         tr.save_checkpoint()
     assert glob.glob(os.path.join(tr.saver.save_dir, "key.*.ckpt")) == keys
+
+
+def test_auto_resume_continues_epochs_end_to_end(tmp_path):
+    """Preemption story: a run checkpointed at epoch 0 resumes and trains
+    ONLY the remaining epochs, with continuing step numbers (so new
+    checkpoints outnumber the stale ones)."""
+    tr1 = _trainer(tmp_path, checkpoint_per_epoch=1)
+    tr1.train()  # epoch=1 in the fixture
+    steps_per_epoch = tr1.global_steps
+    ck1 = tr1.saver.latest_checkpoint()
+
+    tr2 = _trainer(tmp_path, checkpoint_per_epoch=1, resume=True, epoch=3)
+    tr2.exp = tr1.exp
+    tr2.saver = tr1.saver
+    tr2.train()
+    # resumed at epoch 1 → trained epochs 1 and 2 only
+    assert tr2.global_steps == 3 * steps_per_epoch
+    assert tr2.eidx == 2
+    latest = tr2.saver.latest_checkpoint()
+    assert latest != ck1  # new checkpoint, larger step number
+    assert latest > ck1  # zero-padded names sort by step
