@@ -132,3 +132,27 @@ def test_cim_mosei_multitask(tmp_path):
     tr.train()
     res = tr.test()
     assert "f1" in res
+
+
+def test_cogmen_mosei_smoke(tmp_path):
+    """cogmen_mosei alias trains end-to-end on a synthetic MOSEI dataset
+    (single speaker, sentiment labels)."""
+    import os
+
+    os.environ["ERC_TPU_EXPROOT"] = str(tmp_path)
+    from erc_tpu.models.cogmen_mosei import COGMENMoseiParams
+    from erc_tpu.models.cogmen import COGMENTrainer
+
+    p = COGMENMoseiParams()
+    p.dataset = "synthetic-mosei-2"
+    p.epoch = 1
+    p.train.batch_size = 8
+    p.test.batch_size = 8
+    p.max_seq_len = 16
+    p.eval_per_epoch = 1
+    p.iparams()
+    assert p.n_speakers == 1
+    tr = COGMENTrainer(p)
+    tr.train()
+    res = tr.test()
+    assert "f1" in res and tr.global_steps > 0
