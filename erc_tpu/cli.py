@@ -9,6 +9,7 @@
     python -m erc_tpu.cli extract <exp> <test> [out.zip]   # archive one run
     python -m erc_tpu.cli clone <url> [alias]  # git clone + init
     python -m erc_tpu.cli archive <commit> <out.zip>       # export a run snapshot
+    python -m erc_tpu.cli warm <module> [dataset] [bs] [L] # precompile steps
 """
 
 from __future__ import annotations
@@ -77,6 +78,43 @@ def main(argv=None):
         print(f"{'wrote' if ok else 'FAILED to write'} {argv[2]}")
         if not ok:
             sys.exit(1)
+    elif cmd == "warm":
+        # populate the persistent compile cache so the first real run does
+        # not pay the minutes-long cold compile (train + multi-step + eval)
+        import importlib
+
+        module = argv[1]
+        dataset = argv[2] if len(argv) > 2 else "synthetic-cogmen-6"
+        bs = int(argv[3]) if len(argv) > 3 else None
+        L = int(argv[4]) if len(argv) > 4 else None
+        mod = importlib.import_module(f"erc_tpu.models.{module}")
+        p = getattr(mod, "ParamsType")()
+        p.dataset = dataset
+        if bs:
+            p.train.batch_size = bs
+            p.test.batch_size = bs
+        if L:
+            p.max_seq_len = L
+        p.iparams()
+        trainer_cls = [
+            v for k, v in vars(mod).items()
+            if k.endswith("Trainer") and isinstance(v, type)
+        ][-1]
+        tr = trainer_cls(p)
+        tr.initialize()
+        tr._build_step_fns()
+        from erc_tpu.parallel import mesh as meshlib
+
+        batch = tr.example_batch(
+            L=int(p.get("max_seq_len", 32)), B=int(p.train.batch_size)
+        )
+        sharded = meshlib.shard_batch(batch, tr.mesh)
+        tr.state, _ = tr._train_step_fn(tr.state, sharded, tr.rng.key("warm", 0))
+        logits = tr._eval_fn(tr.state, sharded)
+        import jax
+
+        jax.block_until_ready(logits)
+        print(f"warmed {module} on {dataset}: train + eval steps compiled")
     elif cmd == "list":
         for e in analyse.list_experiments():
             print(e)

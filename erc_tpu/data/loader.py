@@ -47,6 +47,7 @@ class DialogueLoader:
         seed: int = 0,
         sort_by_length: bool = False,
         sort_chunk: int = 8,
+        batch_count: Optional[int] = None,
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
     ):
@@ -58,6 +59,9 @@ class DialogueLoader:
         self.rng = RngPool(seed)
         self.sort_by_length = sort_by_length
         self.sort_chunk = max(int(sort_chunk), 1)
+        # epoch-length override (reference: LumoDataLoader batch_count,
+        # loader.py:50-78): truncate when shorter, cycle when longer
+        self.batch_count = batch_count
         self.epoch = 0
         if process_index is None or process_count is None:
             import jax
@@ -68,6 +72,8 @@ class DialogueLoader:
         self.process_count = max(int(process_count), 1)
 
     def __len__(self):
+        if self.batch_count is not None:
+            return int(self.batch_count)
         n = len(self.samples)
         if self.drop_last:
             return n // self.batch_size
@@ -101,7 +107,12 @@ class DialogueLoader:
         return batches
 
     def __iter__(self) -> Iterator[dict]:
-        for idx in self._batch_indices():
+        batches = self._batch_indices()
+        if self.batch_count is not None and batches:
+            want = int(self.batch_count)
+            # cycle deterministically when the epoch is shorter than asked
+            batches = [batches[i % len(batches)] for i in range(want)]
+        for idx in batches:
             if self.process_count > 1:
                 # strided per-process slice of the *global* batch; mesh.
                 # shard_batch reassembles via make_array_from_process_local_data

@@ -307,6 +307,7 @@ class Trainer:
         root = p.get("data_root") or get_root(p.dataset)
         samples = pick_datas(root, p.dataset, split=split)
         bs = p.train.batch_size if split == "train" else p.test.batch_size
+        bc = p.get("batch_count")
         return DialogueLoader(
             samples,
             self.batcher(int(bs)),
@@ -315,6 +316,7 @@ class Trainer:
             seed=p.seed,
             sort_by_length=bool(p.get("sort_by_length", True)),
             sort_chunk=int(p.get("sort_chunk", 8)),
+            batch_count=(int(bc) if bc and split == "train" else None),
         )
 
     def _pipeline_train(self, loader):

@@ -214,3 +214,18 @@ def test_prefetch_place_fn_applied():
 
     out = list(PrefetchLoader(Fake(), place_fn=lambda b: {"x": b["x"] * 10}))
     assert [b["x"] for b in out] == [10, 20]
+
+
+def test_loader_batch_count_override():
+    """reference LumoDataLoader batch_count: truncate or cycle the epoch."""
+    from erc_tpu.data.loader import DialogueLoader
+
+    samples = _mk_samples(16)
+    kw = dict(batcher=lambda s: [x["id"] for x in s], batch_size=4,
+              shuffle=False, process_index=0, process_count=1)
+    short = DialogueLoader(samples, batch_count=2, **kw)
+    assert len(short) == 2 and len(list(short)) == 2
+    long = DialogueLoader(samples, batch_count=7, **kw)
+    out = list(long)
+    assert len(out) == 7
+    assert out[4] == out[0]  # cycles deterministically (4 natural batches)
