@@ -323,7 +323,7 @@ class DailyBatcher:
         B = len(samples)
         Bp = self.pad_batch_to or B
         lens = np.array([min(len(s["label"]), self.max_len) for s in samples], np.int32)
-        L = int(lens.max())
+        L = self.max_len  # static shape: one compiled program per run
         W = self.n_words
         tok = np.zeros((Bp, L, W), np.int32)
         spk = np.zeros((Bp, L), np.int32)
