@@ -59,17 +59,22 @@ def build_optim(cfg: Params, grad_clip_norm: Optional[float] = None):
     b1 = float(cfg.get("beta1", 0.9))
     b2 = float(cfg.get("beta2", 0.999))
     eps = float(cfg.get("eps", 1e-8))
+    # --optim.split_wd=1: exclude biases/norm params from weight decay
+    # (reference contrib/make_optim.py:4-17)
+    mask = wd_mask if cfg.get("split_wd") else None
 
     def base(learning_rate):
         if name == "adam":
             chain = []
             if wd:
-                chain.append(optax.add_decayed_weights(wd))  # torch Adam: L2 into grad
+                chain.append(optax.add_decayed_weights(wd, mask=mask))  # torch Adam: L2 into grad
             chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
             chain.append(optax.scale(-learning_rate))
             return optax.chain(*chain)
         if name == "adamw":
-            return optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps, weight_decay=wd)
+            return optax.adamw(
+                learning_rate, b1=b1, b2=b2, eps=eps, weight_decay=wd, mask=mask
+            )
         if name == "sgd":
             return optax.sgd(
                 learning_rate, momentum=cfg.get("momentum", 0.0) or None,
@@ -83,6 +88,27 @@ def build_optim(cfg: Params, grad_clip_norm: Optional[float] = None):
     if grad_clip_norm:
         tx = optax.chain(optax.clip_by_global_norm(float(grad_clip_norm)), tx)
     return tx
+
+
+def wd_mask(params):
+    """Weight-decay mask excluding biases and norm scales (reference:
+    contrib/make_optim.py:4-17 splits BN/bias params from decay).
+
+    Pass as ``optax.add_decayed_weights(wd, mask=wd_mask)`` /
+    ``optax.adamw(..., mask=wd_mask)``; leaves named ``bias``/``b_*`` or
+    living under a norm scope (``bn``/``norm``/``scale``) are excluded."""
+    import jax
+
+    def keep(path, leaf):
+        names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
+        last = str(names[-1]) if names else ""
+        if last in ("bias", "scale") or last.startswith("b_"):
+            return False
+        if any("bn" in str(n).lower() or "norm" in str(n).lower() for n in names[:-1]):
+            return False
+        return getattr(leaf, "ndim", 0) >= 2
+
+    return jax.tree_util.tree_map_with_path(keep, params)
 
 
 def set_learning_rate(opt_state, lr: float):

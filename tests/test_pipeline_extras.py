@@ -109,3 +109,36 @@ def test_multi_step_training_matches_single_step(tmp_path):
     p2 = run(2)
     for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+def test_split_weight_decay_mask():
+    """--optim.split_wd: biases and norm params are excluded from decay
+    (reference contrib/make_optim BN-split)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from erc_tpu.train import optim as optim_factory
+    from erc_tpu.train.optim import wd_mask
+
+    params = {
+        "dense": {"kernel": jnp.ones((4, 4)), "bias": jnp.ones(4)},
+        "bn": {"scale": jnp.ones(4), "bias": jnp.zeros(4)},
+        "layer_0": {"gru_c_b_ih": jnp.ones(8), "Wr0": jnp.ones((4, 4))},
+    }
+    m = wd_mask(params)
+    assert m["dense"]["kernel"] and not m["dense"]["bias"]
+    assert not m["bn"]["scale"] and not m["bn"]["bias"]
+    assert not m["layer_0"]["gru_c_b_ih"] and m["layer_0"]["Wr0"]
+
+    cfg = optim_factory.create_optim("AdamW", lr=0.1, weight_decay=0.5, split_wd=True)
+    tx = optim_factory.build_optim(cfg)
+    st = tx.init(params)
+    zero_g = jnp.zeros_like
+    import jax
+
+    grads = jax.tree_util.tree_map(zero_g, params)
+    updates, _ = tx.update(grads, st, params)
+    # decayed leaves move, excluded leaves don't
+    assert float(np.abs(np.asarray(updates["dense"]["kernel"])).max()) > 0
+    assert float(np.abs(np.asarray(updates["dense"]["bias"])).max()) == 0
+    assert float(np.abs(np.asarray(updates["bn"]["scale"])).max()) == 0
