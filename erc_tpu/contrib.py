@@ -52,6 +52,32 @@ def label_guess(*prob_list):
     return sum(prob_list) / len(prob_list)
 
 
+def cutmix(key, x, y, beta: float = 1.0):
+    """CutMix for [B, H, W, C] images (reference: augmentations cutmix for
+    the legacy image tracks): swap a random box with a permuted batch, mix
+    labels by the exact box-area fraction.  Static shapes: the box is
+    realized as a coordinate mask, so jit sees one program."""
+    kperm, klam, kx, ky = jax.random.split(key, 4)
+    B, H, W = x.shape[0], x.shape[1], x.shape[2]
+    perm = jax.random.permutation(kperm, B)
+    lam = jax.random.beta(klam, beta, beta)
+    rh = jnp.sqrt(1.0 - lam) * H
+    rw = jnp.sqrt(1.0 - lam) * W
+    cy = jax.random.uniform(ky, (), minval=0.0, maxval=H)
+    cx = jax.random.uniform(kx, (), minval=0.0, maxval=W)
+    y0, y1 = jnp.clip(cy - rh / 2, 0, H), jnp.clip(cy + rh / 2, 0, H)
+    x0, x1 = jnp.clip(cx - rw / 2, 0, W), jnp.clip(cx + rw / 2, 0, W)
+    yy = jnp.arange(H)[:, None]
+    xx = jnp.arange(W)[None, :]
+    box = ((yy >= y0) & (yy < y1) & (xx >= x0) & (xx < x1))[None, :, :, None]
+    xm = jnp.where(box, x[perm], x)
+    # label fraction from the REALIZED (pixel-quantized) box, so labels
+    # match the mixed pixels exactly
+    area = box.mean()
+    ym = (1.0 - area) * y + area * y[perm]
+    return xm, ym, 1.0 - area
+
+
 # -- loss zoo (nest/trainer/losses.py) --------------------------------------
 
 

@@ -115,3 +115,22 @@ def test_load_tb_events(tmp_path):
     steps, vals = zip(*events["train/Lall"])
     assert steps == (0, 1, 2)
     assert abs(vals[2] - 0.125) < 1e-6
+
+
+def test_cutmix_box_and_label_fraction(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from erc_tpu import contrib
+
+    B, H, W, C = 4, 16, 16, 3
+    x = jnp.stack([jnp.full((H, W, C), float(i)) for i in range(B)])
+    y = jax.nn.one_hot(jnp.arange(B) % 2, 2)
+    xm, ym, lam = jax.jit(lambda k: contrib.cutmix(k, x, y))(jax.random.PRNGKey(3))
+    xm, ym = np.asarray(xm), np.asarray(ym)
+    # label mix fraction equals the realized pixel fraction from the box
+    for i in range(B):
+        frac_own = (xm[i] == float(i)).mean()
+        np.testing.assert_allclose(frac_own, float(lam), atol=1/(H*W) + 1e-6)
+    np.testing.assert_allclose(ym.sum(-1), 1.0, atol=1e-6)
