@@ -21,8 +21,16 @@ import numpy as np
 
 
 def load_pkl(path: str):
-    with open(path, "rb") as f:
-        return pickle.load(f)
+    try:
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"feature dump not found: {path}\n"
+            "Point ERC_TPU_DATA_ROOT (or .erc_tpurc.json data_root) at a "
+            "directory holding the reference-format dumps, or use a "
+            "synthetic-* dataset name to generate data in-memory."
+        ) from None
 
 
 def _apply_text_visual_swap(root, subdir, video_text, video_visual, text, visual):
