@@ -407,6 +407,19 @@ class Trainer:
         if p.get("heartbeat", True):
             heartbeat = self.exp.start_heartbeat()
         train_loader = self._pipeline_train(self.make_loader("train"))
+        # --profile_steps=N: capture a device trace of the first N steps of
+        # the first trained epoch into <blob>/profile (TensorBoard-loadable)
+        profile_left = int(p.get("profile_steps", 0) or 0)
+        profiling = False
+        if profile_left > 0:
+            import jax.profiler as _prof
+
+            profile_dir = self.exp.blob_file("", "profile") or (
+                self.exp.blob_dir + "/profile"
+            )
+            _prof.start_trace(profile_dir)
+            profiling = True
+            self.logger.info(f"profiling first {profile_left} steps → {profile_dir}")
         self._fire("train_begin")
         try:
             # start at self.eidx so AutoResume continues instead of
@@ -454,6 +467,15 @@ class Trainer:
                         mets = {mk: v.mean() for mk, v in mets.items()}
                         n_dialogues += k * global_rows(batch, 1)
                     self.global_steps += k
+                    if profiling:
+                        profile_left -= k
+                        if profile_left <= 0:
+                            jax.block_until_ready(self.state.params)
+                            import jax.profiler as _prof
+
+                            _prof.stop_trace()
+                            profiling = False
+                            self.logger.info("profile trace written")
                     m = Meter()
                     m.update(mets)
                     record.record(m)
@@ -480,6 +502,13 @@ class Trainer:
         finally:
             if heartbeat is not None:
                 heartbeat.stop()
+            if profiling:  # epoch shorter than profile_steps, or a crash
+                try:
+                    import jax.profiler as _prof
+
+                    _prof.stop_trace()
+                except Exception:
+                    pass
         self._fire("train_end")
         self.metric_board.flush()
         self.database.flush()

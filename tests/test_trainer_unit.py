@@ -31,3 +31,26 @@ def test_stack_batches_none_passthrough():
     s = _stack_batches([b, b])
     assert s["x"].shape == (2, 2, 3)
     assert s["y"] is None
+
+
+def test_profile_steps_writes_trace(tmp_path):
+    import glob
+    import os
+
+    os.environ["ERC_TPU_EXPROOT"] = str(tmp_path)
+    from erc_tpu.models.cogmen import COGMENParams, COGMENTrainer
+
+    p = COGMENParams()
+    p.dataset = "synthetic-cogmen-6"
+    p.epoch = 1
+    p.max_seq_len = 16
+    p.train.batch_size = 8
+    p.test.batch_size = 8
+    p.eval_per_epoch = 0
+    p.profile_steps = 2
+    p.iparams()
+    tr = COGMENTrainer(p)
+    tr.train()
+    traces = glob.glob(os.path.join(tr.exp.blob_dir, "profile", "**", "*.xplane.pb"),
+                       recursive=True)
+    assert traces, "no xplane trace written"
