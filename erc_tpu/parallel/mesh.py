@@ -127,23 +127,3 @@ def initialize_distributed(coordinator: Optional[str] = None) -> None:
         jax.distributed.initialize(coordinator_address=coordinator)
 
 
-def pad_to_multiple(batch: dict, multiple: int) -> dict:
-    """Pad the batch dim so it divides the data axis (static shapes for jit).
-
-    Adds/extends a `sample_mask` key marking real rows.
-    """
-    out = dict(batch)
-    some = next(v for v in batch.values() if v is not None)
-    b = np.asarray(some).shape[0]
-    rem = (-b) % multiple
-    mask = np.ones(b, dtype=np.float32)
-    if rem:
-        for k, v in batch.items():
-            if v is None:
-                continue
-            v = np.asarray(v)
-            pad = np.zeros((rem,) + v.shape[1:], dtype=v.dtype)
-            out[k] = np.concatenate([v, pad], 0)
-        mask = np.concatenate([mask, np.zeros(rem, dtype=np.float32)])
-    out["sample_mask"] = mask
-    return out
