@@ -261,25 +261,42 @@ class PrefetchLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         _END = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded put that gives up when the consumer is gone, so an
+            # early-stopped epoch (trainer.stopped / mid-epoch exception)
+            # never leaves the producer blocked forever holding (with
+            # place_fn) device-resident batches
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for b in self.loader:
                     if self.place_fn is not None:
                         b = self.place_fn(b)
-                    q.put(b)
-                q.put(_END)
+                    if not _put(b):
+                        return
+                _put(_END)
             except BaseException as e:  # propagate, never truncate silently
-                q.put(e)
+                _put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            if isinstance(item, BaseException):
-                t.join()
-                raise item
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:  # GeneratorExit-safe: unblock + reap the producer
+            stop.set()
+            t.join()

@@ -59,9 +59,14 @@ def build_optim(cfg: Params, grad_clip_norm: Optional[float] = None):
     b1 = float(cfg.get("beta1", 0.9))
     b2 = float(cfg.get("beta2", 0.999))
     eps = float(cfg.get("eps", 1e-8))
-    # --optim.split_wd=1: exclude biases/norm params from weight decay
-    # (reference contrib/make_optim.py:4-17)
-    mask = wd_mask if cfg.get("split_wd") else None
+    # --optim.split_wd=1: exclude BN params from weight decay, matching the
+    # reference's `'bn' in name` split exactly (contrib/make_optim.py:4-17);
+    # --optim.split_wd=full additionally excludes biases/norm scales/1-D
+    # leaves (the conventional-but-broader policy, opt-in)
+    split = cfg.get("split_wd")
+    mask = None
+    if split:
+        mask = wd_mask if str(split).lower() == "full" else wd_mask_bn
 
     def base(learning_rate):
         if name == "adam":
@@ -90,13 +95,24 @@ def build_optim(cfg: Params, grad_clip_norm: Optional[float] = None):
     return tx
 
 
-def wd_mask(params):
-    """Weight-decay mask excluding biases and norm scales (reference:
-    contrib/make_optim.py:4-17 splits BN/bias params from decay).
+def wd_mask_bn(params):
+    """Reference-exact split_wd mask: decay everything except params whose
+    name contains ``bn`` (contrib/make_optim.py:4-17 checks ``'bn' in name``
+    only — biases and other 1-D params still receive weight decay)."""
+    import jax
 
-    Pass as ``optax.add_decayed_weights(wd, mask=wd_mask)`` /
-    ``optax.adamw(..., mask=wd_mask)``; leaves named ``bias``/``b_*`` or
-    living under a norm scope (``bn``/``norm``/``scale``) are excluded."""
+    def keep(path, leaf):
+        names = [str(getattr(k, "key", getattr(k, "name", ""))) for k in path]
+        return not any("bn" in n.lower() for n in names)
+
+    return jax.tree_util.tree_map_with_path(keep, params)
+
+
+def wd_mask(params):
+    """Broader weight-decay mask (``--optim.split_wd=full``): excludes
+    biases, norm scales, and every <2-D leaf — the conventional policy, a
+    deliberate deviation from the reference's 'bn'-only split (see
+    wd_mask_bn for the reference-exact behavior)."""
     import jax
 
     def keep(path, leaf):

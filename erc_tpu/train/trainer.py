@@ -117,9 +117,11 @@ class Trainer:
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
-            payload = np.zeros(24, np.uint8)
+            payload = np.zeros(64, np.uint8)
             if meshlib.is_main_process():
-                b = Experiment.make_test_name().encode()[:24]
+                b = Experiment.make_test_name().encode()
+                # a silent truncation would desynchronize run dirs across hosts
+                assert len(b) <= len(payload), f"test_name too long for broadcast: {b!r}"
                 payload[: len(b)] = np.frombuffer(b, np.uint8)
             payload = np.asarray(multihost_utils.broadcast_one_to_all(payload))
             test_name = bytes(payload).rstrip(b"\x00").decode()

@@ -112,33 +112,49 @@ def test_multi_step_training_matches_single_step(tmp_path):
 
 
 def test_split_weight_decay_mask():
-    """--optim.split_wd: biases and norm params are excluded from decay
-    (reference contrib/make_optim BN-split)."""
+    """--optim.split_wd=1 matches the reference's 'bn'-only exclusion
+    (contrib/make_optim.py:4-17); --optim.split_wd=full is the broader
+    bias/norm/1-D policy."""
     import jax.numpy as jnp
     import numpy as np
 
     from erc_tpu.train import optim as optim_factory
-    from erc_tpu.train.optim import wd_mask
+    from erc_tpu.train.optim import wd_mask, wd_mask_bn
 
     params = {
         "dense": {"kernel": jnp.ones((4, 4)), "bias": jnp.ones(4)},
         "bn": {"scale": jnp.ones(4), "bias": jnp.zeros(4)},
         "layer_0": {"gru_c_b_ih": jnp.ones(8), "Wr0": jnp.ones((4, 4))},
     }
+    # reference-exact: only 'bn'-scoped params excluded; biases still decay
+    mb = wd_mask_bn(params)
+    assert mb["dense"]["kernel"] and mb["dense"]["bias"]
+    assert not mb["bn"]["scale"] and not mb["bn"]["bias"]
+    assert mb["layer_0"]["gru_c_b_ih"] and mb["layer_0"]["Wr0"]
+    # full: biases/norm/1-D leaves excluded too
     m = wd_mask(params)
     assert m["dense"]["kernel"] and not m["dense"]["bias"]
     assert not m["bn"]["scale"] and not m["bn"]["bias"]
     assert not m["layer_0"]["gru_c_b_ih"] and m["layer_0"]["Wr0"]
 
+    import jax
+
+    zero_g = jnp.zeros_like
+    # split_wd=True → reference semantics: bias decays, bn does not
     cfg = optim_factory.create_optim("AdamW", lr=0.1, weight_decay=0.5, split_wd=True)
     tx = optim_factory.build_optim(cfg)
     st = tx.init(params)
-    zero_g = jnp.zeros_like
-    import jax
-
     grads = jax.tree_util.tree_map(zero_g, params)
     updates, _ = tx.update(grads, st, params)
-    # decayed leaves move, excluded leaves don't
+    assert float(np.abs(np.asarray(updates["dense"]["kernel"])).max()) > 0
+    assert float(np.abs(np.asarray(updates["dense"]["bias"])).max()) > 0
+    assert float(np.abs(np.asarray(updates["bn"]["scale"])).max()) == 0
+
+    # split_wd=full → biases/norm excluded from decay
+    cfg = optim_factory.create_optim("AdamW", lr=0.1, weight_decay=0.5, split_wd="full")
+    tx = optim_factory.build_optim(cfg)
+    st = tx.init(params)
+    updates, _ = tx.update(grads, st, params)
     assert float(np.abs(np.asarray(updates["dense"]["kernel"])).max()) > 0
     assert float(np.abs(np.asarray(updates["dense"]["bias"])).max()) == 0
     assert float(np.abs(np.asarray(updates["bn"]["scale"])).max()) == 0

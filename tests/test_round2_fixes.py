@@ -229,3 +229,29 @@ def test_loader_batch_count_override():
     out = list(long)
     assert len(out) == 7
     assert out[4] == out[0]  # cycles deterministically (4 natural batches)
+
+
+def test_prefetch_loader_early_stop_reaps_producer():
+    """Breaking out of a PrefetchLoader mid-epoch must not leave the
+    producer thread blocked forever on the bounded queue (ADVICE r2)."""
+    import threading
+    import time
+
+    from erc_tpu.data.loader import PrefetchLoader
+
+    class Slowless:
+        def __iter__(self):
+            for i in range(100):
+                yield {"x": i}
+
+        def __len__(self):
+            return 100
+
+    before = threading.active_count()
+    it = iter(PrefetchLoader(Slowless(), depth=1))
+    next(it)
+    it.close()  # GeneratorExit path — finally must stop + join the producer
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.01)
+    assert threading.active_count() <= before
