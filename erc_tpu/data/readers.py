@@ -258,3 +258,114 @@ def mosei_adapted(root, split="train", audio=None, text=None, label_type="emo", 
             }
         )
     return res
+
+
+# -- extraction views ------------------------------------------------------
+# Resolved through the registry like the reference (datas/__init__.py:73-81)
+# so preprocess_text/video.py use pick_datas instead of ad-hoc loads.
+
+
+def text_cogmen(root, split="train", n_class=4):
+    """Dialogue-id → sentence-list view for text re-extraction
+    (iemocap_feature.py:133-154).  split is ignored: extraction covers the
+    whole corpus."""
+    rel = (
+        "cogmen/iemocap_4/IEMOCAP_features_4.pkl"
+        if int(n_class) == 4
+        else "cogmen/iemocap/IEMOCAP_features.pkl"
+    )
+    pkl = load_pkl(os.path.join(root, rel))
+    video_sentence = pkl[6]
+    return video_sentence
+
+
+def meld_mmgcn_text(root, split="train"):
+    """MELD sentence view for text re-extraction (meld_feature.py:43-52)."""
+    pkl = load_pkl(os.path.join(root, "MMGCN/MELD_features_raw.pkl"))
+    return pkl[6]
+
+
+def video_cogmen(root, split="train", n_class=4, release_dir="IEMOCAP_full_release"):
+    """Transcript↔avi alignment table for video re-extraction
+    (iemocap_feature.py:157-225); the walking/alignment logic lives in
+    preprocess/video_walk.py."""
+    from erc_tpu.preprocess.video_walk import video_alignment
+
+    raw = load_iemocap_cogmen_raw(root, n_class=int(n_class))
+    release = os.path.join(root, release_dir)
+    return video_alignment(
+        release, raw["video_sentence"], raw["video_speakers"], raw["video_labels"]
+    )
+
+
+# -- MOSEI CIM + raw views -------------------------------------------------
+
+
+def mosei_cim(root, split="train", audio=None):
+    """NAACL-19-CIM npz dumps → utterance-dialogue samples
+    (mosei_feature.py:55-128).  Labels: binary sentiment as ``label`` plus
+    multi-hot ``emo_label`` / 7-bin ``senti7_label`` sidecars.
+
+    Reference-bug note: the reference reads ``train_idName`` for the val
+    split (mosei_feature.py:85); we use ``valid_idName`` when present and
+    fall back to the reference behavior for old dumps."""
+    text = np.load(os.path.join(root, "CIM/text.npz"))
+    video = np.load(os.path.join(root, "CIM/video.npz"))
+    audio_npz = np.load(os.path.join(root, "CIM/audio.npz"))
+
+    tag = {"train": "train", "val": "valid", "test": "test"}.get(split)
+    if tag is None:
+        raise NotImplementedError(f"split {split!r} in MOSEI CIM")
+    lengths = text[f"{tag}_length"]
+    emo_labels = text[f"{tag}EmoLabel" if tag != "train" else "trainEmoLabel"]
+    sent_labels = text[f"{tag}SentiLabel" if tag != "train" else "trainSentiLabel"]
+    text_features = text[f"{tag}_data"]
+    video_features = video[f"{tag}_data"]
+    audio_features = audio_npz[f"{tag}_data"]
+    id_key = f"{tag}_idName"
+    if tag == "valid" and id_key not in text:
+        id_key = "train_idName"  # reference mosei_feature.py:85 behavior
+    ids = text[id_key]
+
+    res = []
+    for i in range(len(ids)):
+        length = int(lengths[i])
+        senti2 = np.array([cmumosei_2(v) for v in sent_labels[i][:length, 0]])
+        senti7 = np.array([cmumosei_7(v) for v in sent_labels[i][:length, 0]])
+        emo = create_emotion_label(emo_labels[i][:length])
+        audio_feature = audio_features[i][:length].astype(np.float32)
+        if audio == "pad80":
+            # fixed vs the reference (mosei_feature.py:110 passes a bad
+            # shape tuple): pad the feature dim out by 6 zeros
+            audio_feature = np.concatenate(
+                [audio_feature, np.zeros((audio_feature.shape[0], 6), np.float32)], axis=-1
+            )
+        res.append(
+            {
+                "ids": ids[i],
+                "length": length,
+                "speakers": [0],
+                "visual": video_features[i][:length].astype(np.float32),
+                "audio": audio_feature,
+                "text": text_features[i][:length].astype(np.float32),
+                "label": senti2,
+                "emo_label": emo,
+                "senti2_label": senti2,
+                "senti7_label": senti7,
+            }
+        )
+    return res
+
+
+def mosei_text(root, split="train"):
+    """Raw sentence map from the adapted pkl (mosei_feature.py:239-249)."""
+    pkl = load_pkl(os.path.join(root, "MOSEI.adpated.pkl"))
+    video_sentence = pkl[8]
+    return video_sentence
+
+
+def mosei_interval(root, split="train"):
+    """Raw interval map from the adapted pkl (mosei_feature.py:226-236)."""
+    pkl = load_pkl(os.path.join(root, "MOSEI.adpated.pkl"))
+    video_interval = pkl[3]
+    return video_interval

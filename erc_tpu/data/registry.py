@@ -12,7 +12,7 @@ import os
 from functools import partial
 from typing import Callable, Dict
 
-from erc_tpu.data import iemocap_raw, readers, synthetic
+from erc_tpu.data import dailydialog, iemocap_raw, readers, synthetic
 
 
 def default_roots() -> Dict[str, str]:
@@ -27,8 +27,15 @@ def default_roots() -> Dict[str, str]:
         "meld": os.path.join(base, "meld"),
         "mosi": os.path.join(base, "mosi"),
         "mosei": os.path.join(base, "mosei"),
+        "dailydialog": os.path.join(base, "dailydialog"),
         "synthetic": base,
     }
+
+
+def _mmin_loader(root, split="train", **kw):
+    from erc_tpu.data import mmin
+
+    return mmin.iemocap_mmin_4(root, split)
 
 
 regist_data: Dict[str, Callable] = {
@@ -42,6 +49,8 @@ regist_data: Dict[str, Callable] = {
     "iemocap-text-v1-4": iemocap_raw.iemocap_text_subset("4.1"),
     "iemocap-text-6": iemocap_raw.iemocap_text_subset("6"),
     "iemocap-ta-4": iemocap_raw.iemocap_text_audio_subset("4"),
+    "iemocap-ta-v1-4": iemocap_raw.iemocap_text_audio_subset("4.1"),
+    "iemocap-ta-6": iemocap_raw.iemocap_text_audio_subset("6"),
     "iemocap-cogmen-6": partial(readers.iemocap_cogmen_6),
     "iemocap-cogmen-sbert-6": partial(readers.iemocap_cogmen_6, text="sbert"),
     "iemocap-cogmen-robert-6": partial(readers.iemocap_cogmen_6, text="robert"),
@@ -68,6 +77,22 @@ regist_data: Dict[str, Callable] = {
     "iemocap-cogmen-robert-tsnss-v+-4": partial(readers.iemocap_cogmen_4, text="robert", visual="tsnss+"),
     "meld-mmgcn-7": partial(readers.meld_mmgcn_7, text=None),
     "meld-mmgcn-sbert-7": partial(readers.meld_mmgcn_7, text="sbert"),
+    # extraction views (reference datas/__init__.py:73-81): sentence maps for
+    # preprocess_text.py and transcript↔avi tables for preprocess_video.py
+    "iemocap-cogmen-text-4": partial(readers.text_cogmen, n_class=4),
+    "iemocap-cogmen-text-6": partial(readers.text_cogmen, n_class=6),
+    "meld-mmgcn-text-7": readers.meld_mmgcn_text,
+    "iemocap-cogmen-video-4": partial(readers.video_cogmen, n_class=4),
+    "iemocap-cogmen-video-6": partial(readers.video_cogmen, n_class=6),
+    # raw MOSEI views + the NAACL-19-CIM dump (datas/__init__.py:83-86)
+    "mosei-text-any-7": readers.mosei_text,
+    "mosei-interval-any-7": readers.mosei_interval,
+    "mosei-cim-2": readers.mosei_cim,
+    # MMIN utterance-level h5 dump (commented row datas/__init__.py:32)
+    "iemocap-mmin-4": _mmin_loader,
+    # DailyDialog token track (reference reader is a stub,
+    # datas/text/dailydialog.py:12; real implementation in data/dailydialog.py)
+    "dailydialog-token-7": dailydialog.dailydialog_token,
     "mosei-emo-sbert-6": partial(readers.mosei_adapted, text="sbert"),
     "mosei-sent-sbert-7": partial(readers.mosei_adapted, text="sbert", label_type="sent_7"),
     "mosei-sent-sbert-2": partial(readers.mosei_adapted, text="sbert", label_type="sent_2"),
@@ -106,6 +131,14 @@ regist_data: Dict[str, Callable] = {
 
 def _synthetic_loader(name: str):
     n_cls = n_classes_of(name)
+    if "daily" in name:
+        return lambda root, split="train", vocab_size=400, **kw: synthetic.synthetic_daily(
+            n_cls, split, vocab=int(vocab_size)
+        )
+    if "mmin" in name:
+        from erc_tpu.data import mmin
+
+        return lambda root, split="train", **kw: mmin.synthetic_mmin(n_cls, split)
     if "mosei" in name:
         return lambda root, split="train", **kw: synthetic.synthetic_mosei(n_cls, split)
     prefix = "meld-mmgcn" if "meld" in name else "iemocap-cogmen"
@@ -116,13 +149,17 @@ def n_classes_of(dataset_name: str) -> int:
     return round(float(dataset_name.split("-")[-1]))
 
 
-def pick_datas(root, dataset_name: str, split: str = "train"):
-    """Resolve name → sample list (reference: datas/__init__.py:117-121)."""
+def pick_datas(root, dataset_name: str, split: str = "train", **kw):
+    """Resolve name → sample list (reference: datas/__init__.py:117-121).
+
+    Extra kwargs flow to readers that take them (e.g. ``vocab_size`` for
+    dailydialog-token-7); readers without matching parameters reject them
+    loudly rather than silently ignoring a typo."""
     if dataset_name.startswith("synthetic-"):
-        return _synthetic_loader(dataset_name)(root, split=split)
+        return _synthetic_loader(dataset_name)(root, split=split, **kw)
     fn = regist_data.get(dataset_name)
     assert fn is not None, f"unknown dataset {dataset_name!r}"
-    return fn(root, split=split)
+    return fn(root, split=split, **kw) if kw else fn(root, split=split)
 
 
 def get_root(dataset_name: str) -> str:

@@ -78,3 +78,25 @@ def synthetic_mosei(n_classes: int, split: str = "train", seed: int = 0, **kw):
         s["senti7_label"] = rng.integers(0, 7, L)
         s["label"] = s["senti2_label"].astype(np.int64) if n_classes == 2 else s["label"]
     return base
+
+
+def synthetic_daily(n_classes=7, split="train", n_train=24, vocab=400,
+                    min_len=4, max_len=12, n_words=20, seed=0):
+    """Token dialogues shaped like the DailyDialog reader's output
+    (data/dailydialog.py) for tests/benchmarks of the dgcnv2_daily track."""
+    rng = np.random.default_rng(seed + (0 if split == "train" else 1))
+    n = n_train if split == "train" else max(n_train // 3, 2)
+    out = []
+    for _ in range(n):
+        ln = int(rng.integers(min_len, max_len + 1))
+        out.append(
+            {
+                "tokens": [
+                    rng.integers(1, vocab, size=int(rng.integers(3, n_words))).tolist()
+                    for _ in range(ln)
+                ],
+                "speakers": rng.integers(0, 2, size=ln).tolist(),
+                "label": rng.integers(0, n_classes, size=ln).tolist(),
+            }
+        )
+    return out

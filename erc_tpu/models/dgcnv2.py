@@ -350,26 +350,7 @@ class DailyBatcher:
         }
 
 
-def synthetic_daily(n_classes=7, split="train", n_train=24, vocab=400,
-                    min_len=4, max_len=12, n_words=20, seed=0):
-    import numpy as np
-
-    rng = np.random.default_rng(seed + (0 if split == "train" else 1))
-    n = n_train if split == "train" else max(n_train // 3, 2)
-    out = []
-    for _ in range(n):
-        ln = int(rng.integers(min_len, max_len + 1))
-        out.append(
-            {
-                "tokens": [
-                    rng.integers(1, vocab, size=int(rng.integers(3, n_words))).tolist()
-                    for _ in range(ln)
-                ],
-                "speakers": rng.integers(0, 2, size=ln).tolist(),
-                "label": rng.integers(0, n_classes, size=ln).tolist(),
-            }
-        )
-    return out
+from erc_tpu.data.synthetic import synthetic_daily  # noqa: E402 (re-export)
 
 
 class DGCNV2Trainer(Trainer):
@@ -397,6 +378,8 @@ main = partial(_main, DGCNV2Trainer, DGCNV2Params)
 class DGCNV2DailyParams(DGCNV2Params):
     def __init__(self):
         super().__init__()
+        # real corpus: dailydialog-token-7 (data/dailydialog.py reader);
+        # synthetic-daily-token-7 generates token dialogues in-memory
         self.dataset = "dailydialog-token-7"
         self.vocab_size = 20000
         self.n_words = 50
@@ -435,9 +418,14 @@ class DGCNV2DailyTrainer(Trainer):
 
     def make_loader(self, split):
         from erc_tpu.data.loader import DialogueLoader
+        from erc_tpu.data.registry import get_root, pick_datas
 
         p = self.params
-        samples = synthetic_daily(p.n_classes, split, vocab=int(p.vocab_size))
+        # resolve through the registry like every other trainer: real
+        # dumps raise a helpful error when absent; only synthetic-* names
+        # generate in-memory data (advisor r2 finding)
+        root = p.get("data_root") or get_root(p.dataset)
+        samples = pick_datas(root, p.dataset, split=split, vocab_size=int(p.vocab_size))
         bs = int(p.train.batch_size if split == "train" else p.test.batch_size)
         return DialogueLoader(
             samples, self._daily_batcher(bs), batch_size=bs,

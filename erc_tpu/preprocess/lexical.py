@@ -90,16 +90,24 @@ def extract_text_features(
     model_path: Optional[str] = None,
     out_path: Optional[str] = None,
 ):
-    """CLI flow (extractor.py:52-93): dataset → sentences → map pkl."""
+    """CLI flow (extractor.py:52-93): dataset → sentences → map pkl.
+
+    Extraction-view names (iemocap-cogmen-text-4/6, meld-mmgcn-text-7,
+    mosei-text-any-7 — reference datas/__init__.py:73-81) resolve straight
+    to a {dialogue: sentences} map; training names fall back to collecting
+    sentences from their sample lists."""
     from erc_tpu.data.registry import get_root, pick_datas
 
     root = get_root(dataset_name)
-    samples = pick_datas(root, dataset_name, split="train") + pick_datas(
-        root, dataset_name, split="test"
-    )
-    video_sentence = {
-        s.get("ids", i): s["sentence"] for i, s in enumerate(samples) if s.get("sentence")
-    }
+    if "-text-" in dataset_name:
+        video_sentence = pick_datas(root, dataset_name)
+    else:
+        samples = pick_datas(root, dataset_name, split="train") + pick_datas(
+            root, dataset_name, split="test"
+        )
+        video_sentence = {
+            s.get("ids", i): s["sentence"] for i, s in enumerate(samples) if s.get("sentence")
+        }
     default_model = (
         "sentence-transformers/paraphrase-distilroberta-base-v1"
         if mode == "sbert"

@@ -30,19 +30,14 @@ def main(argv=None):
     p.prefix = ""
     p.finalize(argv)
 
-    from erc_tpu.data.readers import load_iemocap_cogmen_raw
-    from erc_tpu.data.registry import get_root
-    from erc_tpu.preprocess.video_walk import extract_dialogue_features, video_alignment
+    from erc_tpu.data.registry import get_root, pick_datas
+    from erc_tpu.preprocess.video_walk import extract_dialogue_features
 
+    # resolve the alignment table through the registry like the reference
+    # (datas/__init__.py:78-81 → iemocap_feature.video_cogmen)
     n_class = int(p.dataset.rsplit("-", 1)[-1])
     root = get_root(p.dataset)
-    raw = load_iemocap_cogmen_raw(root, n_class)
-    clips = video_alignment(
-        os.path.join(root, p.release_dir),
-        video_sentence=raw["video_sentence"],
-        video_speakers=raw["video_speakers"],
-        video_labels=raw["video_labels"],
-    )
+    clips = pick_datas(root, p.dataset, release_dir=p.release_dir)
     print(f"aligned {len(clips)} dialogue videos")
 
     from erc_tpu.preprocess.video import TSNExtractor, X3DExtractor

@@ -241,3 +241,32 @@ def test_mmin_ema_maintained_under_steps_per_call(tmp_path):
         tr.state.ema_params, tr.state.params,
     )
     assert max(jax.tree_util.tree_leaves(diffs)) > 0  # shadow moved
+
+
+def test_dgcnv2_daily_loader_routes_registry(tmp_path, monkeypatch):
+    """make_loader resolves through the registry: synthetic-daily-* generates
+    in-memory, dailydialog-token-7 without dumps raises the helpful error
+    (advisor r2 medium finding)."""
+    import os
+
+    import pytest
+
+    monkeypatch.setenv("ERC_TPU_EXPROOT", str(tmp_path / "exp"))
+    monkeypatch.setenv("ERC_TPU_DATA_ROOT", str(tmp_path / "nodata"))
+    from erc_tpu.data.dailydialog import build_vocab
+    from erc_tpu.models.dgcnv2 import DGCNV2DailyParams, DGCNV2DailyTrainer
+
+    p = DGCNV2DailyParams()
+    p.dataset = "synthetic-daily-token-7"
+    p.vocab_size = 100
+    p.iparams()
+    tr = DGCNV2DailyTrainer(p)
+    batches = list(tr.make_loader("train"))
+    assert batches and batches[0]["token_ids"].max() < 100
+
+    p2 = DGCNV2DailyParams()  # default dataset: dailydialog-token-7
+    p2.iparams()
+    tr2 = DGCNV2DailyTrainer(p2)
+    build_vocab.cache_clear()
+    with pytest.raises(FileNotFoundError, match="DailyDialog"):
+        list(tr2.make_loader("train"))

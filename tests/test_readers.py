@@ -137,3 +137,174 @@ def test_train_end_to_end_from_disk_dump(tmp_path, monkeypatch):
     tr.train()
     res = tr.test()
     assert tr.global_steps > 0 and "f1" in res
+
+
+def test_extraction_views(tmp_path):
+    """-text-/-video- extraction views resolve through the registry
+    (reference datas/__init__.py:73-81)."""
+    from erc_tpu.data.registry import pick_datas
+
+    root = str(tmp_path)
+    keys, _ = _mk_iemocap(root)
+    sent = pick_datas(root, "iemocap-cogmen-text-6")
+    assert set(sent) == set(keys) and sent[keys[0]][0] == "utt 0"
+
+    # meld text view
+    rng = np.random.default_rng(1)
+    mkeys = ["d0"]
+    pkl = (
+        {k: ["u0"] for k in mkeys}, {k: [[1] + [0] * 8] for k in mkeys},
+        {k: [0] for k in mkeys},
+        {k: rng.normal(size=(1, 600)) for k in mkeys},
+        {k: rng.normal(size=(1, 300)) for k in mkeys},
+        {k: rng.normal(size=(1, 342)) for k in mkeys},
+        {k: ["hello"] for k in mkeys}, ["d0"], [], None,
+    )
+    os.makedirs(os.path.join(root, "MMGCN"), exist_ok=True)
+    with open(os.path.join(root, "MMGCN/MELD_features_raw.pkl"), "wb") as f:
+        pickle.dump(pkl, f)
+    msent = pick_datas(root, "meld-mmgcn-text-7")
+    assert msent == {"d0": ["hello"]}
+
+
+def test_mosei_views(tmp_path):
+    """mosei-text-any-7 / mosei-interval-any-7 raw views
+    (mosei_feature.py:226-250)."""
+    from erc_tpu.data.registry import pick_datas
+
+    root = str(tmp_path)
+    pkl = (
+        ["v0"], [], [],
+        {"v0": [[0.0, 1.0]]},  # intervals
+        {"v0": np.zeros((1, 8))}, {"v0": np.zeros((1, 74))},
+        {"v0": np.zeros((1, 300))}, {"v0": np.zeros((1, 35))},
+        {"v0": ["a sentence"]},
+        [], [], [], [],
+    )
+    with open(os.path.join(root, "MOSEI.adpated.pkl"), "wb") as f:
+        pickle.dump(pkl, f)
+    assert pick_datas(root, "mosei-text-any-7") == {"v0": ["a sentence"]}
+    assert pick_datas(root, "mosei-interval-any-7") == {"v0": [[0.0, 1.0]]}
+
+
+def _mk_cim(root, n=3, L=4):
+    rng = np.random.default_rng(3)
+    os.makedirs(os.path.join(root, "CIM"), exist_ok=True)
+    Lmax = L + 2
+
+    def block(tag, ids_tag):
+        return {
+            f"{tag}_length": np.full(n, L, np.int64),
+            f"{tag}EmoLabel" if tag != "train" else "trainEmoLabel":
+                rng.integers(0, 2, (n, Lmax, 6)).astype(float),
+            f"{tag}SentiLabel" if tag != "train" else "trainSentiLabel":
+                rng.uniform(-3, 3, (n, Lmax, 1)),
+            f"{tag}_data": rng.normal(size=(n, Lmax, 300)).astype(np.float32),
+            f"{ids_tag}_idName": np.array([f"{tag}{i}" for i in range(n)]),
+        }
+
+    text = {**block("train", "train"), **block("valid", "valid"), **block("test", "test")}
+    np.savez(os.path.join(root, "CIM/text.npz"), **text)
+    feats = lambda D: {
+        f"{t}_data": rng.normal(size=(n, Lmax, D)).astype(np.float32)
+        for t in ("train", "valid", "test")
+    }
+    np.savez(os.path.join(root, "CIM/video.npz"), **feats(35))
+    np.savez(os.path.join(root, "CIM/audio.npz"), **feats(74))
+
+
+def test_mosei_cim_reader(tmp_path):
+    """mosei-cim-2: CIM npz dumps → samples (mosei_feature.py:55-128)."""
+    from erc_tpu.data.registry import pick_datas
+
+    root = str(tmp_path)
+    _mk_cim(root)
+    for split in ("train", "val", "test"):
+        samples = pick_datas(root, "mosei-cim-2", split=split)
+        assert len(samples) == 3
+        s = samples[0]
+        assert s["text"].shape == (4, 300) and s["audio"].shape == (4, 74)
+        assert s["visual"].shape == (4, 35)
+        assert set(np.unique(s["label"])) <= {0, 1}
+        assert s["emo_label"].shape == (4, 7)
+        assert s["senti7_label"].max() < 7
+
+
+def test_dailydialog_reader(tmp_path):
+    """DailyDialog public format → token samples (the reference's reader is
+    a stub, datas/text/dailydialog.py:12)."""
+    from erc_tpu.data.dailydialog import build_vocab, dailydialog_token
+
+    root = str(tmp_path)
+    for split, dias in [
+        ("train", [("hello there __eou__ hi __eou__", "0 4"),
+                   ("how are you __eou__ fine thanks __eou__", "0 4")]),
+        ("test", [("hello again __eou__ bye __eou__", "4 5")]),
+    ]:
+        sd = {"train": "train", "test": "test"}[split]
+        os.makedirs(os.path.join(root, sd), exist_ok=True)
+        with open(os.path.join(root, sd, f"dialogues_{sd}.txt"), "w") as f:
+            f.write("\n".join(t for t, _ in dias) + "\n")
+        with open(os.path.join(root, sd, f"dialogues_emotion_{sd}.txt"), "w") as f:
+            f.write("\n".join(e for _, e in dias) + "\n")
+
+    build_vocab.cache_clear()
+    vocab = build_vocab(root, vocab_size=100)
+    assert vocab["<pad>"] == 0 and vocab["<unk>"] == 1 and "hello" in vocab
+
+    train = dailydialog_token(root, "train")
+    assert len(train) == 2
+    assert train[0]["label"] == [0, 4]
+    assert train[0]["speakers"] == [0, 1]
+    assert train[0]["tokens"][0] == [vocab["hello"], vocab["there"]]
+    test = dailydialog_token(root, "test")
+    # 'again'/'bye' not in train vocab? they are ('bye' only in test → UNK)
+    assert test[0]["tokens"][1] == [1]  # "bye" → <unk>
+
+    # registry resolution + helpful error when files are missing
+    from erc_tpu.data.registry import pick_datas
+
+    build_vocab.cache_clear()
+    via_registry = pick_datas(root, "dailydialog-token-7", vocab_size=100)
+    assert via_registry[0]["label"] == [0, 4]
+    with pytest.raises(FileNotFoundError, match="synthetic-daily-token-7"):
+        build_vocab.cache_clear()
+        pick_datas(str(tmp_path / "nowhere"), "dailydialog-token-7")
+
+
+def test_registry_covers_reference_keys():
+    """Every active (non-commented) reference registry key resolves here,
+    plus the deprecated-but-requested raw/ta/mmin rows (VERDICT r2 #5)."""
+    from erc_tpu.data.registry import regist_data
+
+    reference_active = [
+        "iemocap-cogmen-6", "iemocap-cogmen-sbert-6", "iemocap-cogmen-robert-6",
+        "iemocap-cogmen-tsn-6", "iemocap-cogmen-tsn-v+-6",
+        "iemocap-cogmen-sbert-tsn-6", "iemocap-cogmen-robert-tsn-6",
+        "iemocap-cogmen-sbert-tsn-v+-6", "iemocap-cogmen-robert-tsn-v+-6",
+        "iemocap-cogmen-4", "iemocap-cogmen-sbert-4", "iemocap-cogmen-robert-4",
+        "iemocap-cogmen-tsn-4", "iemocap-cogmen-tsnss-4",
+        "iemocap-cogmen-tsn-v+-4", "iemocap-cogmen-tsnss-v+-4",
+        "iemocap-cogmen-sbert-tsn-4", "iemocap-cogmen-robert-tsn-4",
+        "iemocap-cogmen-sbert-tsn-v+-4", "iemocap-cogmen-robert-tsn-v+-4",
+        "iemocap-cogmen-sbert-tsnss-4", "iemocap-cogmen-robert-tsnss-4",
+        "iemocap-cogmen-sbert-tsnss-v+-4", "iemocap-cogmen-robert-tsnss-v+-4",
+        "meld-mmgcn-7", "meld-mmgcn-sbert-7",
+        "iemocap-cogmen-text-4", "iemocap-cogmen-text-6", "meld-mmgcn-text-7",
+        "iemocap-cogmen-video-4", "iemocap-cogmen-video-6",
+        "mosei-text-any-7", "mosei-interval-any-7", "mosei-cim-2",
+        "mosei-emo-sbert-6", "mosei-sent-sbert-7", "mosei-sent-sbert-2",
+        "mosei-multi-sbert-fbank-6", "mosei-emo-sbert-fbank-6",
+        "mosei-emo-sbert-fbank-blc-6", "mosei-sent-sbert-fbank-7",
+        "mosei-sent-sbert-fbank-2", "mosei-sent-sbert-fbank-+-2",
+        "mosei-emo-sbert-is10-6", "mosei-sent-sbert-is10-7",
+        "mosei-sent-sbert-is10-2", "mosei-sent-sbert-is10-+-2",
+    ]
+    deprecated_requested = [
+        "iemocap-audio-raw-9", "iemocap-audio-4", "iemocap-audio-v1-4",
+        "iemocap-audio-6", "iemocap-text-4", "iemocap-text-v1-4",
+        "iemocap-text-6", "iemocap-ta-4", "iemocap-ta-v1-4", "iemocap-ta-6",
+        "iemocap-mmin-4",
+    ]
+    missing = [k for k in reference_active + deprecated_requested if k not in regist_data]
+    assert not missing, f"registry rows missing: {missing}"
