@@ -46,6 +46,12 @@ class MMGCNParams(MMBaseParams):
         self.drop_rate = 0.4
         self.adj_impl = self.choice("structured", "dense")
         self.gcn_remat = False  # measured v5e: remat loses on the full step
+        # 'packed' (default) masks the text biLSTM like torch packed
+        # sequences; 'unpacked' reproduces the reference's executed graph
+        # exactly — its lstm_l runs on the padded batch (mmgcn.py:69,115) so
+        # the backward direction consumes padding (see PARITY.md for the
+        # measured delta)
+        self.lstm_mode = self.choice("packed", "unpacked")
 
     def iparams(self):
         super().iparams()
@@ -75,6 +81,7 @@ class MMGCNModule(nn.Module):
     use_speaker: bool = True
     adj_impl: str = "structured"
     gcn_remat: bool = False
+    lstm_mode: str = "packed"  # 'unpacked' = reference-exact padded biLSTM
 
     @nn.compact
     def __call__(self, batch, deterministic: bool = True):
@@ -94,10 +101,15 @@ class MMGCNModule(nn.Module):
             feats["v"] = nn.Dense(self.n_dim, name="linear_v")(batch["visual_feature"])
         if "t" in self.modals:
             t = nn.Dense(self.n_dim, name="linear_l")(batch["text_feature"])
+            # 'unpacked': run the recurrence over every padded step (all-ones
+            # mask) — the reference's lstm_l consumes padding in its backward
+            # direction (mmgcn.py:69,115); 'packed' masks like torch packed
+            # sequences (valid positions then independent of batch padding)
+            rnn_mask = mask if self.lstm_mode == "packed" else jnp.ones_like(mask)
             t = BiRNN(
                 hidden_size=100, num_layers=2, cell="lstm", bidirectional=True,
                 dropout=self.drop_rate, name="lstm_l",
-            )(t, mask, deterministic=deterministic)
+            )(t, rnn_mask, deterministic=deterministic)
             # speaker embedding added to text nodes (mmgcn_models.py:540-545)
             if self.use_speaker:
                 spk_emb = nn.Embed(
@@ -168,6 +180,7 @@ class MMGCNTrainer(Trainer):
             drop_rate=params.drop_rate,
             adj_impl=params.adj_impl,
             gcn_remat=bool(params.get("gcn_remat", False)),
+            lstm_mode=params.get("lstm_mode", "packed"),
         )
         self.tx = optim_factory.build_optim(params.optim)
 

@@ -297,19 +297,30 @@ def test_dgcn_forward_loss_parity():
 
 
 # =================================================================== MMGCN
-def test_mmgcn_forward_loss_parity():
+@pytest.mark.parametrize(
+    "lens,lstm_mode",
+    [
+        # packed (default): equal lengths, where packed == unpacked
+        ((6, 6, 6), "packed"),
+        # unpacked (--lstm_mode=unpacked): reference-exact padded biLSTM
+        # whose backward direction consumes padding (mmgcn.py:69,115) —
+        # varied lengths exercise exactly that
+        ((5, 8, 3), "unpacked"),
+    ],
+)
+def test_mmgcn_forward_loss_parity(lens, lstm_mode):
     import jax
 
     from erc_tpu.models.mmgcn import MMGCNModule
 
     n_classes, S, nlayers, nh, n_dim = 4, 2, 6, 24, 200
-    # equal lengths: reference lstm_l is unpacked (see module docstring)
-    batch, samples = erc_batch(n_classes=n_classes, lens=(6, 6, 6))
+    batch, samples = erc_batch(n_classes=n_classes, lens=lens)
     lens = [len(s["label"]) for s in samples]
 
     model = MMGCNModule(
         n_speakers=S, n_classes=n_classes, modals="atv", n_dim=n_dim,
         graph_hidden_size=nh, gcn_layers=nlayers, adj_impl="dense",
+        lstm_mode=lstm_mode,
     )
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
@@ -330,7 +341,7 @@ def test_mmgcn_forward_loss_parity():
                 src = t_(p["lstm_l"][f"{nm}_l{layer}{rev}"])
                 tgt = f"{'weight' if nm.startswith('w') else 'bias'}_{nm[2:]}_l{layer}{rev}"
                 getattr(lstm, tgt).copy_(src)
-    l = lstm(l0)[0]  # unpacked; equal lengths → same as packed
+    l = lstm(l0)[0]  # unpacked over the padded batch, exactly as the reference
     spk = torch.from_numpy(np.asarray(batch["speaker_ids"])).long()
     l = l + t_(p["speaker_embeddings"]["embedding"])[spk]
 
