@@ -159,16 +159,34 @@ class CIMTrainer(Trainer):
         logits2, logits7 = logits
         super().test_step_collect(batch, logits2)
         if "emo_label" in batch and self.params.get("mosei_metric") == "multiemo":
-            mask = np.asarray(batch["attention_mask"]) > 0
-            emo = np.asarray(batch["emo_label"])
-            prob = np.asarray(jax.nn.sigmoid(jnp.asarray(logits7)))
-            self._true_multi.extend(emo[mask].tolist())
+            from erc_tpu.parallel import mesh as meshlib
+
+            mask, emo, lg7 = meshlib.fetch_local(
+                [batch["attention_mask"], batch["emo_label"], logits7]
+            )
+            mask = np.asarray(mask) > 0
+            prob = 1.0 / (1.0 + np.exp(-np.asarray(lg7, np.float64)))
+            self._true_multi.extend(np.asarray(emo)[mask].tolist())
             self._pred_multi.extend(prob[mask].tolist())
 
     def on_test_begin(self):
         self._true_multi, self._pred_multi = [], []
 
+    def on_eval_begin(self):  # val stage shares the multilabel collectors
+        self.on_test_begin()
+
     def on_test_end(self, res):
+        import jax as _jax
+
+        if _jax.process_count() > 1:  # identical metrics on every process
+            from erc_tpu.parallel import mesh as meshlib
+
+            self._true_multi = meshlib.allgather_rows(
+                np.asarray(self._true_multi, np.float64).reshape(-1, 7)
+            ).tolist()
+            self._pred_multi = meshlib.allgather_rows(
+                np.asarray(self._pred_multi, np.float64).reshape(-1, 7)
+            ).tolist()
         if len(getattr(self, "_true_multi", [])):
             summary = metrics_mod.mosei_multilabel_summary(
                 np.array(self._true_multi), np.array(self._pred_multi)

@@ -8,19 +8,15 @@ train step; ReduceLROnPlateau on the eval loss (mmin_base.py:96-99,175).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
-from erc_tpu.core.meter import Meter, Record
 from erc_tpu.data.loader import DialogueLoader
 from erc_tpu.data.mmin import MMINBatcher, pick_mmin_datas, synthetic_mmin
 from erc_tpu.models.base import MMBaseParams
 from erc_tpu.models.mmin_models import MMINBaseModule
-from erc_tpu.parallel import mesh as meshlib
 from erc_tpu.train import optim as optim_factory
 from erc_tpu.train.trainer import (
     Trainer,
@@ -147,10 +143,12 @@ class MMINBaseTrainer(Trainer):
         return logits
 
     def test_step_collect(self, batch, logits):
+        from erc_tpu.parallel import mesh as meshlib
+
         ema_logits = None
         if isinstance(logits, tuple):
             logits, ema_logits = logits
-        mask, labels, logits, ema_logits = jax.device_get(
+        mask, labels, logits, ema_logits = meshlib.fetch_local(
             [batch["sample_mask"], batch["label"], logits, ema_logits]
         )
         mask = np.asarray(mask) > 0
@@ -170,43 +168,24 @@ class MMINBaseTrainer(Trainer):
         self._ema_hits, self._ema_n = 0, 0
 
     def on_test_end(self, res):
+        if jax.process_count() > 1:
+            from erc_tpu.parallel import mesh as meshlib
+
+            h, n = meshlib.allsum(self._ema_hits, self._ema_n)
+            self._ema_hits, self._ema_n = int(h), int(n)
         if self._ema_n:
             res["Acc2"] = self._ema_hits / self._ema_n
             self.logger.info(f"EMA Acc2: {res['Acc2']:.5f}")
 
-    # -- eval (val split) drives ReduceLROnPlateau (mmin_base.py:171-176) -----
-    def evaluate(self):
-        loader = getattr(self, "_val_loader", None)
-        if loader is None:
-            loader = self._val_loader = self._pipeline_eval(self.make_loader("val"))
-        rec = Record("eval")
-        hits2 = n2 = 0
-        for batch in loader:
-            sharded = meshlib.shard_batch(batch, self.mesh)
-            logits = self._eval_fn(self.state, sharded)
-            ema_logits = None
-            if isinstance(logits, tuple):
-                logits, ema_logits = logits
-            mask = jnp.asarray(sharded["sample_mask"])
-            loss = masked_cross_entropy(jnp.asarray(logits), jnp.asarray(sharded["label"]), mask)
-            m = Meter()
-            m.Lall = loss
-            if ema_logits is not None:
-                sel = np.asarray(mask) > 0
-                labels = np.asarray(sharded["label"])
-                hits2 += int(((np.asarray(ema_logits).argmax(-1) == labels) & sel).sum())
-                n2 += int(sel.sum())
-            rec.record(m)
-        l = rec.agg().get("Lall")
-        self._plateau_step(l)
-        if n2:
-            self.logger.info(f"Evaluate Loss: {l} | EMA Acc2: {hits2 / n2:.5f}")
-        else:
-            self.logger.info(f"Evaluate Loss: {l}")
-        return l
+    # -- val stage: the base Trainer.evaluate() runs at the eval cadence
+    # (dataset_has_val → MMIN folds) and steps ReduceLROnPlateau on the val
+    # loss via plateau_source = "val" (reference mmin_base.py:171-176);
+    # eval-stage hooks reuse the test-stage EMA collectors
+    def on_eval_begin(self):
+        self.on_test_begin()
 
-    def on_train_epoch_end(self, eidx, record):
-        self.evaluate()
+    def on_eval_end(self, res):
+        self.on_test_end(res)  # adds EMA Acc2 to the val row
 
 
 main = partial(_main, MMINBaseTrainer, MMINBaseParams)

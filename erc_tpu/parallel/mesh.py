@@ -115,15 +115,100 @@ def is_main_process() -> bool:
     return jax.process_index() == 0
 
 
-def initialize_distributed(coordinator: Optional[str] = None) -> None:
-    """`jax.distributed.initialize` once per process (no-op single-process).
+def fetch_local(tree):
+    """``device_get`` that also works on multi-process global arrays.
 
-    Replaces env-var rank sniffing + ppid flag-file handshakes
-    (reference: proc/dist.py:6-28, exp/experiment.py:72-88).
+    Batch-sharded global arrays are only partially addressable per process;
+    plain ``device_get`` raises.  This returns each process's *local rows*
+    (ordered by shard offset) — callers then combine across processes with
+    :func:`allgather_rows` / :func:`allsum`.  Single-process (and host
+    numpy) leaves pass through as full arrays.
     """
-    if jax.process_count() > 1:
+
+    def one(x):
+        if x is None:
+            return None
+        if isinstance(x, jax.Array) and jax.process_count() > 1 and not x.is_fully_addressable:
+            shards = sorted(
+                x.addressable_shards, key=lambda s: (s.index[0].start or 0)
+            )
+            seen = set()
+            parts = []
+            for s in shards:  # one copy per distinct row range (replicas dedupe)
+                key = (s.index[0].start, s.index[0].stop)
+                if key in seen:
+                    continue
+                seen.add(key)
+                parts.append(np.asarray(s.data))
+            return np.concatenate(parts, axis=0)
+        return np.asarray(jax.device_get(x))
+
+    out = jax.tree_util.tree_map(one, tree)
+    return out
+
+
+def allgather_rows(arr: "np.ndarray") -> "np.ndarray":
+    """Concatenate per-process host arrays of *varying* leading length into
+    the identical global array on every process (pads to the max length for
+    the collective, then trims).  No-op single-process."""
+    arr = np.asarray(arr)
+    if jax.process_count() <= 1:
+        return arr
+    from jax.experimental import multihost_utils
+
+    counts = multihost_utils.process_allgather(np.array([arr.shape[0]]))[:, 0]
+    mx = int(counts.max())
+    pad_width = [(0, mx - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+    padded = np.pad(arr, pad_width)
+    gathered = multihost_utils.process_allgather(padded)  # [P, mx, ...]
+    return np.concatenate([gathered[p, : int(counts[p])] for p in range(len(counts))], axis=0)
+
+
+def allsum(*values: float):
+    """Sum scalars across processes (identity single-process)."""
+    if jax.process_count() <= 1:
+        return values if len(values) > 1 else values[0]
+    from jax.experimental import multihost_utils
+
+    tot = multihost_utils.process_allgather(np.asarray(values, np.float64)).sum(0)
+    out = tuple(float(v) for v in tot)
+    return out if len(out) > 1 else out[0]
+
+
+def initialize_distributed(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """``jax.distributed.initialize`` — MUST run before anything touches the
+    jax backend (a prior ``jax.devices()``/``process_count()`` call makes
+    the initialize ineffective).  Replaces env-var rank sniffing + ppid
+    flag-file handshakes (reference: proc/dist.py:6-28,
+    exp/experiment.py:72-88).
+
+    Configuration sources, in priority order: explicit args, then the
+    ``ERC_TPU_COORDINATOR`` / ``ERC_TPU_NUM_PROCESSES`` /
+    ``ERC_TPU_PROCESS_ID`` environment (set by the launcher), else a no-op
+    (single-process, or TPU-pod auto-detection via a bare
+    ``jax.distributed.initialize()`` when ``ERC_TPU_DIST=auto``).
+    """
+    import os
+
+    if jax._src.distributed.global_state.client is not None:
         return  # already initialized
-    if coordinator is not None:
-        jax.distributed.initialize(coordinator_address=coordinator)
+    coordinator = coordinator or os.environ.get("ERC_TPU_COORDINATOR")
+    if coordinator is None:
+        if os.environ.get("ERC_TPU_DIST") == "auto":
+            jax.distributed.initialize()  # TPU pod: args auto-detected
+        return
+    if num_processes is None and "ERC_TPU_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["ERC_TPU_NUM_PROCESSES"])
+    if process_id is None and "ERC_TPU_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["ERC_TPU_PROCESS_ID"])
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 

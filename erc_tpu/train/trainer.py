@@ -496,6 +496,8 @@ class Trainer:
                 if self.stopped:
                     break
                 if p.get("eval_per_epoch", 1) and (eidx + 1) % int(p.get("eval_per_epoch", 1)) == 0:
+                    if p.get("eval_val", True) and self.dataset_has_val():
+                        self.evaluate()
                     self.test()
         except BaseException as e:
             self.exp.record_end(ok=False, error=repr(e))
@@ -535,10 +537,12 @@ class Trainer:
     def test_step_collect(self, batch, logits) -> None:
         """Gather masked predictions on host (mmbase.py:186-194).
 
-        One device_get for (mask, labels, logits): placed eval batches are
+        One fetch for (mask, labels, logits): placed eval batches are
         device-resident and separate np.asarray calls would each pay a
-        blocking round-trip."""
-        mask, labels, lg = jax.device_get(
+        blocking round-trip.  Multi-process: fetches only this process's
+        addressable rows (global device_get would raise);
+        _sync_eval_state() merges across processes afterwards."""
+        mask, labels, lg = meshlib.fetch_local(
             [batch["attention_mask"], batch["label"], logits]
         )
         mask = np.asarray(mask) > 0
@@ -549,6 +553,19 @@ class Trainer:
         self._true.extend(labels[sel].tolist())
         self._pred.extend(pred[sel].tolist())
         self._collect_nll(logits, labels, sel)
+
+    def _sync_eval_state(self) -> None:
+        """Merge per-process eval collections into identical global state on
+        every process, so metrics, ReduceLROnPlateau and best-model
+        decisions are computed from the SAME inputs everywhere (no replica
+        desync).  No-op single-process."""
+        if jax.process_count() <= 1:
+            return
+        true = meshlib.allgather_rows(np.asarray(self._true, np.int64))
+        pred = meshlib.allgather_rows(np.asarray(self._pred, np.int64))
+        self._true, self._pred = true.tolist(), pred.tolist()
+        self._nll_sum, self._nll_n = meshlib.allsum(self._nll_sum, self._nll_n)
+        self._nll_n = int(self._nll_n)
 
     def _plateau_step(self, loss: float) -> None:
         """Step an optional ReduceLROnPlateau (subclasses set self.lr_sche)
@@ -568,6 +585,69 @@ class Trainer:
                 opt_state=set_learning_rate(self.state.opt_state, new)
             )
 
+    def dataset_has_val(self) -> bool:
+        """Datasets with a *real* validation split: MOSEI ``valid_id``
+        (reference mosei_feature.py:131-143) and the MMIN folds.  The
+        IEMOCAP/MELD readers alias val→test, so validating there would
+        select on the test set."""
+        d = str(self.params.dataset)
+        return "mosei" in d or "mmin" in d
+
+    def evaluate(self) -> Dict[str, Any]:
+        """Validation stage over split='val' (reference Trainer.evaluate,
+        lumo/trainer/trainer.py:559-582): NLL + classification summary on
+        the val split, logged under board stage 'val'.  Drives
+        ReduceLROnPlateau when ``plateau_source == 'val'`` and saves a
+        ``best_val`` model when ``--select_on=val``."""
+        p = self.params
+        self.initialize()
+        if self._eval_fn is None:
+            self._build_step_fns()
+        loader = getattr(self, "_val_loader", None)
+        if loader is None:
+            loader = self._val_loader = self._pipeline_eval(self.make_loader("val"))
+        self._true, self._pred = [], []
+        self._nll_sum, self._nll_n = 0.0, 0
+        self._fire("eval_begin")
+        self._eval_loop(loader)
+        self._sync_eval_state()
+        val_loss = self._nll_sum / max(self._nll_n, 1)
+        res: Dict[str, Any] = {"Lall": val_loss}
+        if len(self._true):
+            summ = metrics_mod.classification_summary(
+                self._true, self._pred, p.n_classes
+            )
+            res.update({k: summ[k] for k in ("acc", "f1", "wa") if k in summ})
+        self.metric_board.append(res, step=self.eidx, stage="val")
+        self.metric_board.flush()
+        self.logger.info(
+            f"val: Lall={val_loss:.5f}"
+            + (f" f1={res['f1']:.5f}" if "f1" in res else "")
+        )
+        if p.get("select_on", "test") == "val" and "f1" in res:
+            with self.database as db:
+                db.update_metrics({"val_f1": res["f1"]}, compare="max")
+            if res["f1"] >= float(self.database.todict().get("val_f1", 0.0)):
+                self.save_model("best_val", is_best=True)
+        if self.plateau_source == "val":
+            self._plateau_step(val_loss if self._nll_n else None)
+        self._fire("eval_end", res)
+        return res
+
+    def _eval_loop(self, loader) -> None:
+        """Dispatch eval steps with a one-batch lag before collecting: the
+        host-side fetch of batch k overlaps batch k+1's device compute
+        (the fetch is the only blocking call in the loop)."""
+        prev = None
+        for batch in loader:
+            sharded = meshlib.shard_batch(batch, self.mesh)
+            logits = self._eval_fn(self.state, sharded)
+            if prev is not None:
+                self.test_step_collect(*prev)
+            prev = (sharded, logits)
+        if prev is not None:
+            self.test_step_collect(*prev)
+
     def test(self) -> Dict[str, Any]:
         p = self.params
         self.initialize()
@@ -579,11 +659,8 @@ class Trainer:
         self._true, self._pred = [], []
         self._nll_sum, self._nll_n = 0.0, 0
         self._fire("test_begin")
-        record = Record("test")
-        for batch in loader:
-            sharded = meshlib.shard_batch(batch, self.mesh)
-            logits = self._eval_fn(self.state, sharded)
-            self.test_step_collect(batch, logits)
+        self._eval_loop(loader)
+        self._sync_eval_state()
         test_loss = self._nll_sum / max(self._nll_n, 1)
         res = {}
         if len(self._true) and p.get("confusion_matrix", True):
@@ -648,9 +725,19 @@ class Trainer:
 
 
 def main(trainer_cls, params_cls, argv: Optional[list] = None):
-    """CLI driver (reference: mmbase.py:483-499)."""
+    """CLI driver (reference: mmbase.py:483-499).
+
+    Multi-process launches set --coordinator=host:port (+
+    --num_processes/--process_id, or the ERC_TPU_* env equivalents); the
+    distributed client MUST come up before the Trainer touches the jax
+    backend (mesh construction)."""
     params = params_cls()
     params.finalize(argv)
+    meshlib.initialize_distributed(
+        coordinator=params.get("coordinator"),
+        num_processes=params.get("num_processes"),
+        process_id=params.get("process_id"),
+    )
     trainer = trainer_cls(params)
     trainer.train()  # --eval_first runs test() at train_begin (EvalFirst cb)
     trainer.save_model()
