@@ -55,6 +55,11 @@ class MMBaseParams(BaseParams):
         # HBM traffic); float32 default for bit-level parity runs
         self.compute_dtype = self.choice("float32", "bfloat16")
         self.eval_per_epoch = 1
+        # val-split stage: evaluate() runs at the eval cadence when the
+        # dataset has a real val split (MOSEI valid_id, MMIN folds);
+        # --select_on=val saves best_val on val wF1 instead of test f1
+        self.eval_val = True
+        self.select_on = self.choice("test", "val")
         self.data_root = None
 
         self.optim = optim_factory.create_optim("Adam", lr=1e-3)
