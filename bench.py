@@ -64,27 +64,58 @@ def _force(tree):
             np.asarray(jax.device_get(leaf.ravel()[0]))
 
 
-def make_batches(batch_size, n_batches, max_len, seed=0):
-    from erc_tpu.data.collate import ERCBatcher
-    from erc_tpu.data.synthetic import synthetic_erc
+def make_batches(batch_size, n_batches, max_len, seed=0, kind="erc", tr=None):
+    """Per-model synthetic batches through the model's own batcher."""
+    if kind == "daily":
+        from erc_tpu.data.synthetic import synthetic_daily
 
-    samples = synthetic_erc(
-        "iemocap-cogmen", 6, "train", n_train=batch_size * n_batches,
-        min_len=max(8, max_len - 32), max_len=max_len, seed=seed,
-    )
-    batcher = ERCBatcher("atv", 6, 2, max_len=max_len, pad_batch_to=batch_size)
+        samples = synthetic_daily(
+            tr.params.n_classes, "train", n_train=batch_size * n_batches,
+            min_len=max(8, max_len - 32), max_len=max_len,
+            vocab=int(tr.params.vocab_size), seed=seed,
+        )
+        batcher = tr._daily_batcher(batch_size)
+    elif kind == "mmin":
+        from erc_tpu.data.mmin import synthetic_mmin
+
+        samples = synthetic_mmin(
+            tr.params.n_classes, "train", n_train=batch_size * n_batches,
+            seed=seed,
+        )
+        batcher = tr.mmin_batcher(batch_size, tr.has_miss())
+    else:
+        from erc_tpu.data.collate import ERCBatcher
+        from erc_tpu.data.synthetic import synthetic_erc
+
+        samples = synthetic_erc(
+            "iemocap-cogmen", 6, "train", n_train=batch_size * n_batches,
+            min_len=max(8, max_len - 32), max_len=max_len, seed=seed,
+        )
+        batcher = ERCBatcher("atv", 6, 2, max_len=max_len, pad_batch_to=batch_size)
     return [
         batcher(samples[i * batch_size : (i + 1) * batch_size])
         for i in range(n_batches)
     ]
 
 
+# model → (module, params cls, trainer cls, bench dataset name, batch kind)
 MODEL_REGISTRY = {
-    "cogmen": ("erc_tpu.models.cogmen", "COGMENParams", "COGMENTrainer"),
-    "dgcn": ("erc_tpu.models.dgcn", "DGCNParams", "DGCNTrainer"),
-    "mmgcn": ("erc_tpu.models.mmgcn", "MMGCNParams", "MMGCNTrainer"),
-    "dagerc": ("erc_tpu.models.dagerc", "DAGERCParams", "DAGERCTrainer"),
-    "cim": ("erc_tpu.models.cim", "CIMParams", "CIMTrainer"),
+    "cogmen": ("erc_tpu.models.cogmen", "COGMENParams", "COGMENTrainer",
+               "synthetic-cogmen-6", "erc"),
+    "dgcn": ("erc_tpu.models.dgcn", "DGCNParams", "DGCNTrainer",
+             "synthetic-cogmen-6", "erc"),
+    "mmgcn": ("erc_tpu.models.mmgcn", "MMGCNParams", "MMGCNTrainer",
+              "synthetic-cogmen-6", "erc"),
+    "dagerc": ("erc_tpu.models.dagerc", "DAGERCParams", "DAGERCTrainer",
+               "synthetic-cogmen-6", "erc"),
+    "cim": ("erc_tpu.models.cim", "CIMParams", "CIMTrainer",
+            "synthetic-cogmen-6", "erc"),
+    "dgcnv2": ("erc_tpu.models.dgcnv2", "DGCNV2Params", "DGCNV2Trainer",
+               "synthetic-cogmen-6", "erc"),
+    "dgcnv2_daily": ("erc_tpu.models.dgcnv2", "DGCNV2DailyParams",
+                     "DGCNV2DailyTrainer", "synthetic-daily-token-7", "daily"),
+    "mmin": ("erc_tpu.models.mmin_miss", "MMINMissParams", "MMINMissTrainer",
+             "synthetic-mmin-4", "mmin"),
 }
 
 # graph implementations each model supports (param name, choices to bench)
@@ -94,11 +125,15 @@ MODEL_IMPLS = {
     "mmgcn": ("adj_impl", ["structured", "dense"]),
     "dagerc": (None, [None]),
     "cim": (None, [None]),
+    "dgcnv2": (None, [None]),
+    "dgcnv2_daily": (None, [None]),
+    "mmin": (None, [None]),
 }
 
 
 def bench_tpu(batch_size=32, max_len=96, steps=32, steps_per_call=8,
-              graph_impl="dense", model="cogmen", with_eval=True):
+              graph_impl="dense", model="cogmen", with_eval=True,
+              overrides=()):
     """Returns dict(train_dps, eval_dps, flops_per_step, mfu)."""
     import importlib
 
@@ -108,11 +143,11 @@ def bench_tpu(batch_size=32, max_len=96, steps=32, steps_per_call=8,
     from erc_tpu.data.loader import stack_batches
     from erc_tpu.parallel import mesh as meshlib
 
-    mod_name, pcls, tcls = MODEL_REGISTRY[model]
+    mod_name, pcls, tcls, dataset, kind = MODEL_REGISTRY[model]
     mod = importlib.import_module(mod_name)
     p = getattr(mod, pcls)()
     trainer_cls = getattr(mod, tcls)
-    p.dataset = "synthetic-cogmen-6"
+    p.dataset = dataset
     p.train.batch_size = batch_size
     p.max_seq_len = max_len
     impl_key = MODEL_IMPLS[model][0]
@@ -124,6 +159,17 @@ def bench_tpu(batch_size=32, max_len=96, steps=32, steps_per_call=8,
         # forward), which would make the comparison dishonest
         p.encoder_mode = "chained"
     p.steps_per_call = steps_per_call
+    for kv in overrides:  # --set model params, e.g. dag_chunk=16
+        k, v = kv.split("=", 1)
+        cur = p.get(k)
+        if isinstance(cur, bool) or v in ("true", "false", "True", "False"):
+            p[k] = v.lower() == "true"
+        elif isinstance(cur, int):
+            p[k] = int(v)
+        elif isinstance(cur, float):
+            p[k] = float(v)
+        else:
+            p[k] = v
     p.iparams()
     tr = trainer_cls(p)
     tr.initialize()
@@ -137,7 +183,7 @@ def bench_tpu(batch_size=32, max_len=96, steps=32, steps_per_call=8,
     n_groups = min(n_calls, 8)
     groups = []
     for c in range(n_groups):
-        batches = make_batches(batch_size, K, max_len, seed=c)
+        batches = make_batches(batch_size, K, max_len, seed=c, kind=kind, tr=tr)
         if K == 1:
             groups.append(meshlib.shard_batch(batches[0], tr.mesh))
         else:
@@ -161,7 +207,7 @@ def bench_tpu(batch_size=32, max_len=96, steps=32, steps_per_call=8,
     # analytic FLOPs of ONE train step from XLA's cost model
     flops_per_step = None
     try:
-        single = make_batches(batch_size, 1, max_len, seed=99)[0]
+        single = make_batches(batch_size, 1, max_len, seed=99, kind=kind, tr=tr)[0]
         sharded1 = meshlib.shard_batch(single, tr.mesh)
         cost = (
             jax.jit(tr._make_raw_train_step())
@@ -199,7 +245,7 @@ def bench_tpu(batch_size=32, max_len=96, steps=32, steps_per_call=8,
     eval_dps = None
     if with_eval:
         ev_batches = [meshlib.shard_batch(b, tr.mesh)
-                      for b in make_batches(batch_size, max(n_calls, 4), max_len, seed=7)]
+                      for b in make_batches(batch_size, max(n_calls, 4), max_len, seed=7, kind=kind, tr=tr)]
         _force(ev_batches)
         logits = tr._eval_fn(state, ev_batches[0])
         _force(logits)
@@ -374,6 +420,8 @@ def main():
                     choices=["banded", "dense", "structured", "auto"])
     ap.add_argument("--steps-per-call", type=int, default=8)
     ap.add_argument("--model", default="cogmen", choices=list(MODEL_REGISTRY))
+    ap.add_argument("--set", dest="overrides", action="append", default=[],
+                    help="model param override key=value (repeatable)")
     args = ap.parse_args()
 
     if args.measure_baseline:
@@ -387,7 +435,8 @@ def main():
         return
 
     r = bench_tpu(args.batch_size, args.max_len, args.steps,
-                  args.steps_per_call, args.graph_impl, args.model)
+                  args.steps_per_call, args.graph_impl, args.model,
+                  overrides=args.overrides)
 
     baseline = TORCH_CPU_BASELINE_DPS
     if not args.no_measure_baseline:

@@ -25,7 +25,7 @@ from flax import linen as nn
 
 from erc_tpu.models.base import MMBaseParams
 from erc_tpu.ops import graphs
-from erc_tpu.ops.rnn import _uniform_init, gru_cell
+from erc_tpu.ops.rnn import _uniform_init, gru_cell, gru_cell_proj
 from erc_tpu.train import optim as optim_factory
 from erc_tpu.train.trainer import Trainer, main as _main
 
@@ -45,6 +45,12 @@ class DAGERCParams(MMBaseParams):
         self.speaker_onehot = True
         self.windowp = 1
         self.hidden_dim = 300
+        # DAGStack blocking: utterances per scan trip; remat of the block
+        # body; and the within-block implementation (auto = fused pallas
+        # kernel on TPU, pure-XLA elsewhere) — see DAGStack docstring
+        self.dag_chunk = 16
+        self.dag_remat = False
+        self.dag_impl = self.choice("auto", "pallas", "xla")
 
     def iparams(self):
         super().iparams()
@@ -148,15 +154,40 @@ class DAGLayer(nn.Module):
 
 
 class DAGStack(nn.Module):
-    """All DAG layers pipelined in one scan (see DAGERCModule docstring).
+    """All DAG layers, each as a blockwise-prefix scan (flash-attention
+    style).  Same math as chaining DAGLayer (parity-tested), restructured
+    for the TPU memory system.
 
-    Per layer the math is DAGLayer's exactly; the carry holds each layer's
-    (H1, V0, V1, K) buffers and the per-step python loop over layers is
-    unrolled into the scan body.
+    Layers run *sequentially* (layer l's full input is layer l−1's full
+    output), so each layer's attention queries ``q_i = h_in·w_q`` are all
+    known before its scan starts.  Only the keys/values come from the
+    layer's own outputs, so the scan goes over blocks of ``chunk``
+    positions:
+
+    - **prefix part** (one MXU matmul per block): attention of the whole
+      block against all *previous* blocks' V0/V1/K buffers — the [B, L, D]
+      buffers are streamed once per block instead of once per position
+      (~chunk× less HBM traffic, which dominated the per-step form);
+    - **within-block part** (unrolled loop of ``chunk`` tiny steps): the
+      sequential dual-GRU recurrence against [B, chunk, D] live buffers;
+    - the two softmax halves combine with the standard running-max
+      rescaling (exact up to fp; masked columns keep their additive
+      −1e30 so empty predecessor sets reproduce the reference softmax
+      bit-for-bit at the semantic level — see the mask note below).
+
+    Measured v5e (B=32, L=96): see BENCH_MATRIX.md.
     """
 
     hidden_dim: int
     n_layers: int
+    chunk: int = 16
+    remat: bool = False
+    # 'pallas' fuses the within-block tail into one kernel with a
+    # hand-written backward (ops/pallas/dag_block) — the XLA form's AD
+    # backward is ~20 small ops/position and dominates the step (19 ms of
+    # a 23 ms step on v5e); 'xla' keeps the pure-jax form (CPU/tests);
+    # 'auto' picks pallas on TPU.
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, H0, adj, s_mask):
@@ -183,48 +214,175 @@ class DAGStack(nn.Module):
                     )
             layers.append(lp)
 
-        H0s = jnp.swapaxes(H0, 0, 1)  # [L, B, D]
-        adjs = jnp.swapaxes(adj, 0, 1)  # [L, B, L]
-        sms = jnp.swapaxes(s_mask, 0, 1)  # [L, B, L]
-        zeros = jnp.zeros((B, L, D), H0.dtype)
-        zrow = jnp.zeros((B, L), H0.dtype)
-        init = tuple((zeros, zeros, zeros, zrow) for _ in range(self.n_layers))
+        # pad L to a block multiple; padded rows carry zero adjacency and
+        # their outputs are sliced off below
+        C = max(1, min(self.chunk, L))
+        Lp = -(-L // C) * C
+        pad = Lp - L
+        if pad:
+            adjp = jnp.pad(adj, ((0, 0), (0, pad), (0, pad)))
+            smp = jnp.pad(s_mask, ((0, 0), (0, pad), (0, pad)))
+            H0p = jnp.pad(H0, ((0, 0), (0, pad), (0, 0)))
+        else:
+            adjp, smp, H0p = adj, s_mask, H0
+        T = Lp // C
 
-        def step(carry, inp):
-            h0_i, adj_i, sm_i, i = inp
-            h_cur = h0_i  # layer input at position i
-            new_carry = []
-            outs = []
-            for lp, (H1, V0, V1, Kp) in zip(layers, carry):
-                wq = lp["att_w"][:D, 0]
-                wk = lp["att_w"][D:, 0]
-                alpha = (h_cur @ wq)[:, None] + Kp + lp["att_b"][0]  # [B, L]
-                alpha = alpha - (1.0 - adj_i) * 1e30
-                attn = jax.nn.softmax(alpha, axis=-1)
-                Vsel = V0 * sm_i[..., None] + V1 * (1.0 - sm_i[..., None])
-                M = jnp.einsum("bl,bld->bd", attn, Vsel)
-                M = jnp.where(i == 0, 0.0, M)
-                xc = h_cur @ lp["gru_c_w_ih"].T + lp["gru_c_b_ih"]
-                C = gru_cell(xc, M, lp["gru_c_w_hh"], lp["gru_c_b_hh"])
-                xp = M @ lp["gru_p_w_ih"].T + lp["gru_p_b_ih"]
-                P = gru_cell(xp, h_cur, lp["gru_p_w_hh"], lp["gru_p_b_hh"])
-                h1 = C + P
-                new_carry.append(
-                    (
-                        H1.at[:, i].set(h1),
-                        V0.at[:, i].set(h1 @ lp["wr0"].T),
-                        V1.at[:, i].set(h1 @ lp["wr1"].T),
-                        Kp.at[:, i].set(h1 @ wk),
+        # masks are ADDITIVE (−1e30), exactly like the per-step reference
+        # form: when a row's predecessor set is empty the −1e30 cancels in
+        # the softmax and the row falls back to softmax(raw logits) over
+        # the unwritten (zero) keys — the reference's behavior on masked
+        # positions.  Padded columns get −max-float so they drop out even
+        # then.
+        colpad = jnp.where(
+            jnp.arange(Lp) < L, 0.0, jnp.finfo(H0.dtype).min
+        ).astype(H0.dtype)
+        addmask = -(1.0 - adjp) * 1e30 + colpad  # [B, Lp, Lp]
+
+        # block-diagonal [T, B, C, C] views (within-block mask/speaker)
+        def block_diag(m):
+            return jnp.moveaxis(
+                m.reshape(B, T, C, T, C).diagonal(axis1=1, axis2=3),
+                (0, 3, 1, 2), (1, 0, 2, 3),
+            )  # → [T, B, C, C]
+
+        use_pallas = self.impl == "pallas" or (
+            self.impl == "auto" and jax.default_backend() == "tpu"
+        )
+        addmask_w = block_diag(addmask)
+        sm_w = block_diag(smp)
+        addmask_blk = jnp.moveaxis(addmask.reshape(B, T, C, Lp), 1, 0)
+        sm_blk = jnp.moveaxis(smp.reshape(B, T, C, Lp), 1, 0)  # [T, B, C, Lp]
+        NEG = jnp.finfo(H0.dtype).min / 2
+
+        def run_layer(lp, h_in):
+            """One DAG layer over all positions; h_in: [B, Lp, D]."""
+            wq = lp["att_w"][:D, 0]
+            wk = lp["att_w"][D:, 0]
+            bias = lp["att_b"][0]
+            # all projections that depend only on the layer INPUT are
+            # hoisted into MXU-batched matmuls over every position at once:
+            # q, the node-GRU input proj, and the proxy-GRU *hidden* proj
+            # (its hidden state is h_in — dagerc_models.py:358 P = GRU(M, H))
+            q = h_in @ wq  # [B, Lp]
+            xc = h_in @ lp["gru_c_w_ih"].T + lp["gru_c_b_ih"]  # [B, Lp, 3D]
+            hpp = h_in @ lp["gru_p_w_hh"].T + lp["gru_p_b_hh"]  # [B, Lp, 3D]
+            # the two remaining M-dependent projections fuse into ONE matmul
+            # per position, as does the (Wr0 | Wr1 | w_k) output transform
+            Wm = jnp.concatenate(
+                [lp["gru_c_w_hh"].T, lp["gru_p_w_ih"].T], axis=1
+            )  # [D, 6D]
+            bm = jnp.concatenate([lp["gru_c_b_hh"], lp["gru_p_b_ih"]])
+            Wout = jnp.concatenate(
+                [lp["wr0"].T, lp["wr1"].T, wk[:, None]], axis=1
+            )  # [D, 2D+1]
+            # per-gate stacks for the pallas kernel (Mosaic can't split at
+            # non-128-aligned lane offsets, so the torch 3D packing stays
+            # outside the kernel)
+            Whc3 = jnp.stack(
+                [lp["gru_c_w_hh"][g * D : (g + 1) * D].T for g in range(3)]
+            )
+            bhc3 = lp["gru_c_b_hh"].reshape(3, D)
+            Wip3 = jnp.stack(
+                [lp["gru_p_w_ih"][g * D : (g + 1) * D].T for g in range(3)]
+            )
+            bip3 = lp["gru_p_b_ih"].reshape(3, D)
+            q_blk = jnp.moveaxis(q.reshape(B, T, C), 1, 0)  # [T, B, C]
+            xc_blk = jnp.moveaxis(xc.reshape(B, T, C, 3 * D), 1, 0)
+            hpp_blk = jnp.moveaxis(hpp.reshape(B, T, C, 3 * D), 1, 0)
+            hin_blk = jnp.moveaxis(h_in.reshape(B, T, C, D), 1, 0)
+
+            def block(carry, inp):
+                V0, V1, K = carry  # [B, Lp, D] ×2, [B, Lp]
+                qb, xcb, hppb, hb, amb, smb, amw, smw, t = inp
+                # ---- prefix: this block's queries vs every column OUTSIDE
+                # the current block.  Future columns' K/V rows are still
+                # zero ("unwritten"), exactly like the per-step form — they
+                # matter only for rows with empty predecessor sets, where
+                # the cancelled −1e30 lets every column into the softmax
+                # denominator (reference semantics on masked positions).
+                j = jnp.arange(Lp)
+                pre_cols = ((j < t * C) | (j >= t * C + C)).astype(H0.dtype)
+                lpre = qb[:, :, None] + K[:, None, :] + bias + amb  # [B,C,Lp]
+                lpre = jnp.where(pre_cols > 0, lpre, NEG)
+                mp = lpre.max(-1)  # [B, C]; ≥ NEG (finite) by construction
+                ep = jnp.exp(lpre - mp[..., None]) * pre_cols  # [B, C, Lp]
+                den_p = ep.sum(-1)  # [B, C]
+                e0 = ep * smb
+                num0 = jnp.einsum("bcj,bjd->bcd", e0, V0)
+                num1 = jnp.einsum("bcj,bjd->bcd", ep - e0, V1)
+                # ---- within-block sequential recurrence
+                if use_pallas:
+                    from erc_tpu.ops.pallas.dag_block import dag_block
+
+                    flag = (t == 0).astype(jnp.int32)[None]
+                    h1b, V0w, V1w, Kw = dag_block(
+                        flag, qb + bias,
+                        xcb.reshape(B, C, 3, D), hppb.reshape(B, C, 3, D),
+                        hb, num0 + num1, den_p, mp, amw, smw,
+                        Whc3, bhc3, Wip3, bip3,
+                        lp["wr0"].T, lp["wr1"].T, wk[:, None],
                     )
-                )
-                outs.append(h1)
-                h_cur = h1  # feeds the next layer at this position
-            return tuple(new_carry), jnp.stack(outs)  # [n_layers, B, D]
+                    start = t * C
+                    V0 = jax.lax.dynamic_update_slice(V0, V0w, (0, start, 0))
+                    V1 = jax.lax.dynamic_update_slice(V1, V1w, (0, start, 0))
+                    K = jax.lax.dynamic_update_slice(K, Kw, (0, start))
+                    return (V0, V1, K), h1b
+                V0w = jnp.zeros((B, C, D), H0.dtype)
+                V1w = jnp.zeros((B, C, D), H0.dtype)
+                Kw = jnp.zeros((B, C), H0.dtype)
+                h1s = []
+                for c in range(C):
+                    lw = qb[:, c, None] + Kw + bias + amw[:, c]  # [B, C]
+                    mw = lw.max(-1)  # [B]
+                    ew = jnp.exp(lw - mw[:, None])
+                    e0w = ew * smw[:, c]
+                    n0w = jnp.einsum("bj,bjd->bd", e0w, V0w)
+                    n1w = jnp.einsum("bj,bjd->bd", ew - e0w, V1w)
+                    dnw = ew.sum(-1)
+                    # combine the two softmax halves (running-max rescale)
+                    m = jnp.maximum(mp[:, c], mw)
+                    sp = jnp.exp(mp[:, c] - m)[:, None]
+                    sw = jnp.exp(mw - m)[:, None]
+                    den = den_p[:, c, None] * sp + dnw[:, None] * sw
+                    M = (
+                        (num0[:, c] + num1[:, c]) * sp + (n0w + n1w) * sw
+                    ) / den
+                    if c == 0:
+                        M = jnp.where(t == 0, 0.0, M)
+                    mm = M @ Wm + bm  # fused: node-GRU hidden ⊕ proxy-GRU input
+                    Cg = gru_cell_proj(xcb[:, c], mm[:, : 3 * D], M)
+                    P = gru_cell_proj(mm[:, 3 * D :], hppb[:, c], hb[:, c])
+                    h1 = Cg + P
+                    h1s.append(h1)
+                    out = h1 @ Wout  # fused: (Wr0 | Wr1 | w_k)
+                    V0w = V0w.at[:, c].set(out[:, :D])
+                    V1w = V1w.at[:, c].set(out[:, D : 2 * D])
+                    Kw = Kw.at[:, c].set(out[:, 2 * D])
+                # fold the finished block into the prefix buffers (one DUS)
+                start = t * C
+                V0 = jax.lax.dynamic_update_slice(V0, V0w, (0, start, 0))
+                V1 = jax.lax.dynamic_update_slice(V1, V1w, (0, start, 0))
+                K = jax.lax.dynamic_update_slice(K, Kw, (0, start))
+                return (V0, V1, K), jnp.stack(h1s, axis=1)  # [B, C, D]
 
-        _, ys = jax.lax.scan(step, init, (H0s, adjs, sms, jnp.arange(L)))
-        # ys: [L, n_layers, B, D] → per-layer [B, L, D]
-        ys = jnp.moveaxis(ys, 0, 2)  # [n_layers, B, L, D]
-        return [ys[l] for l in range(self.n_layers)]
+            body = jax.checkpoint(block) if self.remat else block
+            zeros = jnp.zeros((B, Lp, D), H0.dtype)
+            init = (zeros, zeros, jnp.zeros((B, Lp), H0.dtype))
+            _, ys = jax.lax.scan(
+                body,
+                init,
+                (q_blk, xc_blk, hpp_blk, hin_blk, addmask_blk, sm_blk,
+                 addmask_w, sm_w, jnp.arange(T)),
+            )
+            # ys: [T, B, C, D] → [B, Lp, D]
+            return jnp.moveaxis(ys, 0, 1).reshape(B, Lp, D)
+
+        outs = []
+        h = H0p
+        for lp in layers:
+            h = run_layer(lp, h)
+            outs.append(h[:, :L])
+        return outs
 
 
 class DAGERCModule(nn.Module):
@@ -242,6 +400,9 @@ class DAGERCModule(nn.Module):
     windowp: int = 1
     drop_rate: float = 0.2
     fused: bool = True
+    chunk: int = 16
+    remat: bool = False
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, batch, deterministic: bool = True):
@@ -256,7 +417,11 @@ class DAGERCModule(nn.Module):
 
         H0 = nn.relu(nn.Dense(self.hidden_dim, name="fc1")(x))
         if self.fused:
-            ys = DAGStack(self.hidden_dim, self.gnn_layers, name="stack")(H0, adj, s_mask)
+            ys = DAGStack(
+                self.hidden_dim, self.gnn_layers,
+                chunk=self.chunk, remat=self.remat, impl=self.impl,
+                name="stack",
+            )(H0, adj, s_mask)
             Hs = [H0] + list(ys)
         else:
             Hs = [H0]
@@ -282,6 +447,9 @@ class DAGERCTrainer(Trainer):
             hidden_dim=int(params.hidden_dim),
             windowp=int(params.windowp),
             drop_rate=float(params.dropout),
+            chunk=int(params.get("dag_chunk", 16)),
+            remat=bool(params.get("dag_remat", False)),
+            impl=str(params.get("dag_impl", "auto")),
         )
         # grad clip 5.0 (dagerc.py:230)
         self.tx = optim_factory.build_optim(params.optim, grad_clip_norm=5.0)

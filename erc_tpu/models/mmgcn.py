@@ -45,7 +45,8 @@ class MMGCNParams(MMBaseParams):
         self.gcn_layers = 64
         self.drop_rate = 0.4
         self.adj_impl = self.choice("structured", "dense")
-        self.gcn_remat = False  # measured v5e: remat loses on the full step
+        self.gcn_remat = True  # chunked remat (8 layers/trip): backward
+        # stores activations once per chunk, not per layer (ops.gnn)
         # 'packed' (default) masks the text biLSTM like torch packed
         # sequences; 'unpacked' reproduces the reference's executed graph
         # exactly — its lstm_l runs on the padded batch (mmgcn.py:69,115) so

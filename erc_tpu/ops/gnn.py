@@ -27,6 +27,14 @@ def _uniform(scale):
     return init
 
 
+def _chunk_of(n: int, want: int) -> int:
+    """Largest divisor of ``n`` that is ≤ ``want`` (scan chunking)."""
+    c = max(1, min(want, n))
+    while n % c:
+        c -= 1
+    return c
+
+
 def relational_message_passing(
     x, adj, rel, weights, edge_norm=None, aggr: str = "mean"
 ):
@@ -165,9 +173,13 @@ class GCNIIStack(nn.Module):
     lamda: float = 0.5
     alpha: float = 0.1
     dropout: float = 0.0
-    remat: bool = False  # recompute layer activations in bwd; won an
-    # isolated fwd+bwd microbench (~11%) but LOST in the full mmgcn step
-    # on v5e (1222 vs 1457 dia/s) — off by default, togglable (--gcn_remat)
+    remat: bool = True  # chunked remat: the scan runs ``chunk`` layers per
+    # trip with jax.checkpoint around the trip body, so the backward stores
+    # the [B, N, nh] activations once per chunk instead of per layer
+    # (~chunk× less HBM residual traffic) and recomputes the cheap layer
+    # math.  Per-LAYER remat (the round-2 variant) lost on v5e because it
+    # saved the same carries while paying full recompute.
+    chunk: int = 8
 
     @nn.compact
     def __call__(self, x, adj, deterministic: bool = True):
@@ -184,8 +196,7 @@ class GCNIIStack(nn.Module):
 
         keep = 1.0 - self.dropout
 
-        def layer(h, inp):
-            W, theta, key = inp
+        def layer(h, W, theta, key):
             if not deterministic and self.dropout > 0:
                 mask = jax.random.bernoulli(key, keep, h.shape)
                 h = jnp.where(mask, h / keep, 0.0)
@@ -195,14 +206,31 @@ class GCNIIStack(nn.Module):
             support = jnp.concatenate([hi, h0], -1)
             r = (1 - self.alpha) * hi + self.alpha * h0
             out = theta * (support @ W) + (1 - theta) * r
-            return nn.relu(out).astype(h0.dtype), None
+            return nn.relu(out).astype(h0.dtype)
 
-        if self.remat:
-            layer = jax.checkpoint(layer)
         # NOTE: adj is [B, v, u] here?  ops.graphs adjacency is u→v, but the
         # GCNII big-adj is symmetric after D^-1/2 A D^-1/2, so orientation
         # does not matter; we keep 'buv,bud->bvd' (aggregate over axis 1).
-        h, _ = jax.lax.scan(layer, h0, (Ws, thetas, keys))
+        C = _chunk_of(self.nlayers, self.chunk)
+
+        def body(h, inp):
+            Wc, thc, kc = inp
+            for t in range(C):
+                h = layer(h, Wc[t], thc[t], kc[t])
+            return h, None
+
+        if self.remat:
+            body = jax.checkpoint(body)
+        T = self.nlayers // C
+        h, _ = jax.lax.scan(
+            body,
+            h0,
+            (
+                Ws.reshape(T, C, 2 * nh, nh),
+                thetas.reshape(T, C),
+                keys.reshape(T, C, 2),
+            ),
+        )
         return h
 
 
@@ -219,7 +247,8 @@ class GCNIIStackStructured(nn.Module):
     lamda: float = 0.5
     alpha: float = 0.1
     dropout: float = 0.0
-    remat: bool = False  # see GCNIIStack
+    remat: bool = True  # chunked remat — see GCNIIStack
+    chunk: int = 8
 
     @nn.compact
     def __call__(self, x, intra, cross, deterministic: bool = True):
@@ -236,8 +265,7 @@ class GCNIIStackStructured(nn.Module):
             keys = jnp.zeros((self.nlayers, 2), jnp.uint32)
         keep = 1.0 - self.dropout
 
-        def layer(h, inp):
-            W, theta, key = inp
+        def layer(h, W, theta, key):
             if not deterministic and self.dropout > 0:
                 mask = jax.random.bernoulli(key, keep, h.shape)
                 h = jnp.where(mask, h / keep, 0.0)
@@ -245,9 +273,26 @@ class GCNIIStackStructured(nn.Module):
             support = jnp.concatenate([hi, h0], -1)
             r = (1 - self.alpha) * hi + self.alpha * h0
             out = theta * (support @ W) + (1 - theta) * r
-            return nn.relu(out), None
+            return nn.relu(out)
+
+        C = _chunk_of(self.nlayers, self.chunk)
+
+        def body(h, inp):
+            Wc, thc, kc = inp
+            for t in range(C):
+                h = layer(h, Wc[t], thc[t], kc[t])
+            return h, None
 
         if self.remat:
-            layer = jax.checkpoint(layer)
-        h, _ = jax.lax.scan(layer, h0, (Ws, thetas, keys))
+            body = jax.checkpoint(body)
+        T = self.nlayers // C
+        h, _ = jax.lax.scan(
+            body,
+            h0,
+            (
+                Ws.reshape(T, C, 2 * nh, nh),
+                thetas.reshape(T, C),
+                keys.reshape(T, C, 2),
+            ),
+        )
         return h

@@ -1,0 +1,364 @@
+"""Fused Pallas kernel for DAG-ERC's within-block recurrence.
+
+One DAG layer runs as a blockwise-prefix scan (models/dagerc.DAGStack):
+per block of C utterances, the attention against *previous* blocks is a
+pair of MXU einsums (XLA handles those well), while the C-position
+sequential tail — combine the two softmax halves, dual GRU, output
+transforms — is ~20 small ops per position that XLA schedules as
+individual kernels.  Measured on v5e (B=32, L=96, D=300, 4 layers) the
+XLA forward is 4.3 ms and its AD backward 19 ms — per-op sequencing, not
+FLOPs or HBM.  This module fuses the whole C-position tail into ONE
+kernel (everything lives in VMEM/registers) with a hand-written
+backward that *recomputes* per-position activations from the kernel's
+own outputs instead of streaming AD residuals.
+
+Layout note: gates are carried as separate [·, 3, D] / [3, D, D] arrays
+— Mosaic cannot concatenate/split vectors at non-128-aligned lane
+offsets (D = 300), so the torch [3D] gate packing stays outside.
+
+Replay safety: the backward rebuilds step-c attention from the FINAL
+V0w/V1w/Kw buffers.  Rows j ≥ c differ from the step-c view (they were
+still zero), but every such column carries an additive −1e30 mask, so
+its softmax weight and weight-gradient underflow to exact 0 — except on
+rows with an empty predecessor set.  Gradients through the running-max
+rescale use honest partials (the total-cancellation happens in the
+XLA-side combination with ∂num/∂mp).
+
+GRADIENT CONTRACT: outputs at positions with an *empty* predecessor set
+are exact in the forward but replay-divergent in the backward UNLESS the
+position is flag-gated (global position 0) or its cotangents are zero.
+DAG-ERC satisfies this by construction — ``dag_adjacency`` gives every
+valid i ≥ 1 at least predecessor i−1, and empty rows beyond the dialogue
+length are loss-masked with zero-weight reads (tests:
+test_pallas_dag_block.py).
+
+Reference semantics: GAT_dialoggcn_v1 + dual GRUCell,
+track_mm/dagerc_models.py:312-365 / dagerc.py:156-198.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gru_gates(xr, xz, xn, hr, hz, hn, h):
+    """torch GRUCell from per-gate projections."""
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    return (1.0 - z) * n + z * h, (r, z, n)
+
+
+def _attend(qc, Kw, amw_c, smw_c, V0w, V1w, num01_c, den_p_c, mp_c):
+    """Step-c attention combine; returns M and the recompute pack.
+
+    Every reduced quantity stays 2-D [B, 1] — Mosaic lowers 1-D
+    intermediates through gathers it cannot always handle."""
+    lw = qc + Kw + amw_c  # [B, C]
+    mw = jnp.max(lw, axis=-1, keepdims=True)  # [B, 1]
+    ew = jnp.exp(lw - mw)
+    e0w = ew * smw_c
+    e1w = ew - e0w
+    n0 = jnp.sum(e0w[:, :, None] * V0w, axis=1)  # [B, D] (VPU — C is small)
+    n1 = jnp.sum(e1w[:, :, None] * V1w, axis=1)
+    nw = n0 + n1
+    dnw = jnp.sum(ew, axis=-1, keepdims=True)  # [B, 1]
+    m = jnp.maximum(mp_c, mw)  # [B, 1]
+    sp = jnp.exp(mp_c - m)  # [B, 1]
+    sw = jnp.exp(mw - m)
+    den = den_p_c * sp + dnw * sw
+    M = (num01_c * sp + nw * sw) / den
+    return M, (lw, mw, ew, e0w, e1w, nw, dnw, sp, sw, den)
+
+
+def _mm3(x, W3, b3):
+    """x @ W3[g] + b3[g] for the 3 gates → tuple of [B, D]."""
+    return tuple(
+        jnp.dot(x, W3[g], preferred_element_type=jnp.float32) + b3[g : g + 1, :]
+        for g in range(3)
+    )
+
+
+def _step_fwd(c, flag, qb, xcb, hppb, hb, num01, den_p, mp, amw, smw,
+              Whc, bhc, Wip, bip, Wr0T, Wr1T, wkc, Kw, V0w, V1w):
+    """Recompute position c's forward given the (live or final) buffers."""
+    M, pack = _attend(
+        qb[:, c : c + 1], Kw, amw[:, c], smw[:, c], V0w, V1w,
+        num01[:, c], den_p[:, c : c + 1], mp[:, c : c + 1],
+    )
+    if c == 0:
+        M = jnp.where(flag > 0, 0.0, M)
+    hpc = _mm3(M, Whc, bhc)  # node-GRU hidden proj (h = M)
+    xpp = _mm3(M, Wip, bip)  # proxy-GRU input proj (x = M)
+    Cg, g1 = _gru_gates(
+        xcb[:, c, 0], xcb[:, c, 1], xcb[:, c, 2], hpc[0], hpc[1], hpc[2], M
+    )
+    P, g2 = _gru_gates(
+        xpp[0], xpp[1], xpp[2],
+        hppb[:, c, 0], hppb[:, c, 1], hppb[:, c, 2], hb[:, c],
+    )
+    h1 = Cg + P
+    v0 = jnp.dot(h1, Wr0T, preferred_element_type=jnp.float32)
+    v1 = jnp.dot(h1, Wr1T, preferred_element_type=jnp.float32)
+    kw = jnp.dot(h1, wkc, preferred_element_type=jnp.float32)  # [B, 1]
+    return M, pack, hpc, xpp, g1, g2, h1, v0, v1, kw
+
+
+def _fwd_body(flag, qb, xcb, hppb, hb, num01, den_p, mp, amw, smw,
+              Whc, bhc, Wip, bip, Wr0T, Wr1T, wkc):
+    """Pure-jax reference of the whole block tail (tests + AD oracle)."""
+    B, C = qb.shape
+    D = hb.shape[-1]
+    V0w = jnp.zeros((B, C, D), qb.dtype)
+    V1w = jnp.zeros((B, C, D), qb.dtype)
+    Kw = jnp.zeros((B, C), qb.dtype)
+    h1s = []
+    for c in range(C):
+        _, _, _, _, _, _, h1, v0, v1, kw = _step_fwd(
+            c, flag, qb, xcb, hppb, hb, num01, den_p, mp, amw, smw,
+            Whc, bhc, Wip, bip, Wr0T, Wr1T, wkc, Kw, V0w, V1w,
+        )
+        V0w = V0w.at[:, c].set(v0)
+        V1w = V1w.at[:, c].set(v1)
+        Kw = Kw.at[:, c].set(kw[:, 0])
+        h1s.append(h1)
+    return jnp.stack(h1s, axis=1), V0w, V1w, Kw
+
+
+def _fwd_kernel(flag_ref, qb, xcb, hppb, hb, num01, den_p, mp, amw, smw,
+                Whc, bhc, Wip, bip, Wr0T, Wr1T, wkc,
+                h1_o, v0_o, v1_o, kw_o):
+    C = qb.shape[1]
+    flag = flag_ref[0]
+    v0_o[:] = jnp.zeros(v0_o.shape, v0_o.dtype)
+    v1_o[:] = jnp.zeros(v1_o.shape, v1_o.dtype)
+    kw_o[:] = jnp.zeros(kw_o.shape, kw_o.dtype)
+    for c in range(C):
+        _, _, _, _, _, _, h1, v0, v1, kw = _step_fwd(
+            c, flag, qb, xcb, hppb, hb, num01, den_p, mp, amw, smw,
+            Whc[:], bhc[:], Wip[:], bip[:], Wr0T[:], Wr1T[:], wkc[:],
+            kw_o[:], v0_o[:], v1_o[:],
+        )
+        v0_o[:, c, :] = v0
+        v1_o[:, c, :] = v1
+        kw_o[:, c : c + 1] = kw
+        h1_o[:, c, :] = h1
+
+
+def _gru_bwd(g, hn_proj, h, r, z, n):
+    """VJP of _gru_gates → per-gate (dxr,dxz,dxn), (dhr,dhz,dhn), dh."""
+    dz = g * (h - n)
+    dn = g * (1.0 - z)
+    dh = g * z
+    dn_pre = dn * (1.0 - n * n)
+    dr = dn_pre * hn_proj
+    dhn = dn_pre * r
+    dz_pre = dz * z * (1.0 - z)
+    dr_pre = dr * r * (1.0 - r)
+    return (dr_pre, dz_pre, dn_pre), (dr_pre, dz_pre, dhn), dh
+
+
+def _bwd_kernel(flag_ref, qb, xcb, hppb, hb, num01, den_p, mp, amw, smw,
+                Whc, bhc, Wip, bip, Wr0T, Wr1T, wkc, h1f, v0f, v1f, kwf,
+                dh1, dv0_in, dv1_in, dkw_in,
+                dqb_o, dxcb_o, dhppb_o, dhb_o, dnum01_o, dden_p_o, dmp_o,
+                dWhc_o, dbhc_o, dWip_o, dbip_o, dWr0T_o, dWr1T_o, dwkc_o):
+    """Reverse the block tail; activations recomputed from the forward's
+    outputs (see replay-safety note)."""
+    B, C = qb.shape
+    D = hb.shape[-1]
+    flag = flag_ref[0]
+    for ref in (dWhc_o, dbhc_o, dWip_o, dbip_o, dWr0T_o, dWr1T_o, dwkc_o):
+        ref[:] = jnp.zeros(ref.shape, ref.dtype)
+    # running cotangents of the written buffer rows: start from the
+    # incoming gradients; later (already-processed) positions have added
+    # their attention-read contributions by the time row c is consumed
+    dV0 = dv0_in[:]
+    dV1 = dv1_in[:]
+    dKw = dkw_in[:]
+    for c in range(C - 1, -1, -1):
+        M, pack, hpc, xpp, g1, g2, h1, _, _, _ = _step_fwd(
+            c, flag, qb, xcb, hppb, hb, num01, den_p, mp, amw, smw,
+            Whc[:], bhc[:], Wip[:], bip[:], Wr0T[:], Wr1T[:], wkc[:],
+            kwf[:], v0f[:], v1f[:],
+        )
+        lw, mw, ew, e0w, e1w, nw, dnw, sp, sw, den = pack
+        r1, z1, n1g = g1
+        r2, z2, n2g = g2
+        # ---- backward through the out transforms
+        g = dh1[:, c, :]
+        dv0c = dV0[:, c, :]
+        dv1c = dV1[:, c, :]
+        dkwc = dKw[:, c : c + 1]
+        g = g + jax.lax.dot_general(
+            dv0c, Wr0T[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        g = g + jax.lax.dot_general(
+            dv1c, Wr1T[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        g = g + jax.lax.dot_general(
+            dkwc, wkc[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dWr0T_o[:] += jax.lax.dot_general(
+            h1, dv0c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dWr1T_o[:] += jax.lax.dot_general(
+            h1, dv1c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dwkc_o[:] += jax.lax.dot_general(
+            h1, dkwc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # ---- dual GRU backward (h1 = Cg + P, both get g)
+        dxc3, dhpc3, dM = _gru_bwd(g, hpc[2], M, r1, z1, n1g)
+        dxpp3, dhpp3, dhb_c = _gru_bwd(g, hppb[:, c, 2], hb[:, c], r2, z2, n2g)
+        for gi in range(3):
+            dxcb_o[:, c, gi, :] = dxc3[gi]
+            dhppb_o[:, c, gi, :] = dhpp3[gi]
+        dhb_o[:, c, :] = dhb_c
+        # hpc = M@Whc + bhc ; xpp = M@Wip + bip
+        for gi in range(3):
+            dWhc_o[gi, :, :] += jax.lax.dot_general(
+                M, dhpc3[gi], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dbhc_o[gi : gi + 1, :] += jnp.sum(dhpc3[gi], axis=0, keepdims=True)
+            dWip_o[gi, :, :] += jax.lax.dot_general(
+                M, dxpp3[gi], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dbip_o[gi : gi + 1, :] += jnp.sum(dxpp3[gi], axis=0, keepdims=True)
+            dM = dM + jax.lax.dot_general(
+                dhpc3[gi], Whc[:][gi], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dM = dM + jax.lax.dot_general(
+                dxpp3[gi], Wip[:][gi], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        if c == 0:
+            dM = jnp.where(flag > 0, 0.0, dM)
+        # ---- attention combine backward: M = (num01·sp + nw·sw) / den
+        dnum_v = dM / den
+        dden_s = -jnp.sum(dM * M, axis=-1, keepdims=True) / den  # [B, 1]
+        dnum01_o[:, c, :] = dnum_v * sp
+        dnw_v = dnum_v * sw
+        dsp = (
+            jnp.sum(dnum_v * num01[:, c], axis=-1, keepdims=True)
+            + dden_s * den_p[:, c : c + 1]
+        )
+        dsw = jnp.sum(dnum_v * nw, axis=-1, keepdims=True) + dden_s * dnw
+        dden_p_o[:, c : c + 1] = dden_s * sp
+        ddnw = dden_s * sw
+        # sp = exp(mp−m), sw = exp(mw−m), m = max(mp, mw): honest partials
+        mp_ge = (mp[:, c : c + 1] >= mw).astype(qb.dtype)
+        dmp_c = mp_ge * (-dsw * sw) + (1.0 - mp_ge) * (dsp * sp)
+        dmw = mp_ge * (dsw * sw) + (1.0 - mp_ge) * (-dsp * sp)
+        dmp_o[:, c : c + 1] = dmp_c
+        # nw = Σ e0w·V0w + Σ e1w·V1w ; dnw = Σ ew
+        dV0 = dV0 + e0w[:, :, None] * dnw_v[:, None, :]
+        dV1 = dV1 + e1w[:, :, None] * dnw_v[:, None, :]
+        dew = (
+            jnp.sum(dnw_v[:, None, :] * v0f[:], axis=-1) * smw[:, c]
+            + jnp.sum(dnw_v[:, None, :] * v1f[:], axis=-1) * (1.0 - smw[:, c])
+            + ddnw
+        )  # [B, C]
+        dlw = dew * ew
+        # mw = max_j lw (ties split evenly) + the −Σ dew·ew exp-shift term
+        dmw_tot = dmw - jnp.sum(dlw, axis=-1, keepdims=True)  # [B, 1]
+        is_max = (lw == mw).astype(qb.dtype)
+        dlw = dlw + is_max * (
+            dmw_tot / jnp.maximum(jnp.sum(is_max, -1, keepdims=True), 1.0)
+        )
+        dqb_o[:, c : c + 1] = jnp.sum(dlw, axis=-1, keepdims=True)
+        dKw = dKw + dlw
+
+
+def _vmem():
+    return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+
+def _interpret() -> bool:
+    return jax.devices()[0].platform != "tpu"
+
+
+@jax.custom_vjp
+def dag_block(flag, qb, xcb, hppb, hb, num01, den_p, mp, amw, smw,
+              Whc, bhc, Wip, bip, Wr0T, Wr1T, wkc):
+    """Fused within-block DAG recurrence.
+
+    flag [1] int32 (1 ⇒ global position 0 is in this block; its M is
+    zeroed).  qb [B,C] (queries, attention bias pre-added), xcb/hppb
+    [B,C,3,D] per-gate projections, hb [B,C,D], prefix combine inputs
+    num01 [B,C,D] / den_p, mp [B,C], within masks amw/smw [B,C,C],
+    weights Whc/Wip [3,D,D], bhc/bip [3,D], Wr0T/Wr1T [D,D], wkc [D,1].
+    Returns (h1 [B,C,D], V0w, V1w [B,C,D], Kw [B,C])."""
+    B, C = qb.shape
+    D = hb.shape[-1]
+    dt = qb.dtype
+    return pl.pallas_call(
+        _fwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, C, D), dt),
+            jax.ShapeDtypeStruct((B, C, D), dt),
+            jax.ShapeDtypeStruct((B, C, D), dt),
+            jax.ShapeDtypeStruct((B, C), dt),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [_vmem()] * 16,
+        out_specs=tuple(_vmem() for _ in range(4)),
+        interpret=_interpret(),
+    )(flag, qb, xcb, hppb, hb, num01, den_p, mp, amw, smw,
+      Whc, bhc, Wip, bip, Wr0T, Wr1T, wkc)
+
+
+def _dag_block_fwd(*args):
+    outs = dag_block(*args)
+    return outs, (args, outs)
+
+
+def _dag_block_bwd(res, cts):
+    args, outs = res
+    (flag, qb, xcb, hppb, hb, num01, den_p, mp, amw, smw,
+     Whc, bhc, Wip, bip, Wr0T, Wr1T, wkc) = args
+    h1, V0w, V1w, Kw = outs
+    dh1, dV0, dV1, dKw = cts
+    B, C = qb.shape
+    D = hb.shape[-1]
+    dt = qb.dtype
+    grads = pl.pallas_call(
+        _bwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, C), dt),          # dqb
+            jax.ShapeDtypeStruct((B, C, 3, D), dt),    # dxcb
+            jax.ShapeDtypeStruct((B, C, 3, D), dt),    # dhppb
+            jax.ShapeDtypeStruct((B, C, D), dt),       # dhb
+            jax.ShapeDtypeStruct((B, C, D), dt),       # dnum01
+            jax.ShapeDtypeStruct((B, C), dt),          # dden_p
+            jax.ShapeDtypeStruct((B, C), dt),          # dmp
+            jax.ShapeDtypeStruct((3, D, D), dt),       # dWhc
+            jax.ShapeDtypeStruct((3, D), dt),          # dbhc
+            jax.ShapeDtypeStruct((3, D, D), dt),       # dWip
+            jax.ShapeDtypeStruct((3, D), dt),          # dbip
+            jax.ShapeDtypeStruct((D, D), dt),          # dWr0T
+            jax.ShapeDtypeStruct((D, D), dt),          # dWr1T
+            jax.ShapeDtypeStruct((D, 1), dt),          # dwkc
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [_vmem()] * 24,
+        out_specs=tuple(_vmem() for _ in range(14)),
+        interpret=_interpret(),
+    )(flag, qb, xcb, hppb, hb, num01, den_p, mp, amw, smw,
+      Whc, bhc, Wip, bip, Wr0T, Wr1T, wkc, h1, V0w, V1w, Kw,
+      dh1, dV0, dV1, dKw)
+    (dqb, dxcb, dhppb, dhb, dnum01, dden_p, dmp,
+     dWhc, dbhc, dWip, dbip, dWr0T, dWr1T, dwkc) = grads
+    return (None, dqb, dxcb, dhppb, dhb, dnum01, dden_p, dmp,
+            jnp.zeros_like(amw), jnp.zeros_like(smw),
+            dWhc, dbhc, dWip, dbip, dWr0T, dWr1T, dwkc)
+
+
+dag_block.defvjp(_dag_block_fwd, _dag_block_bwd)

@@ -37,6 +37,18 @@ def gru_cell(x_proj, h, w_hh, b_hh):
     return (1.0 - z) * n + z * h
 
 
+def gru_cell_proj(x_proj, h_proj, h):
+    """GRU step with BOTH projections precomputed (x_proj = x@W_ihᵀ+b_ih,
+    h_proj = h@W_hhᵀ+b_hh).  Lets callers hoist whichever side is loop-
+    invariant and merge the other into a fused matmul (see DAGStack)."""
+    xr, xz, xn = jnp.split(x_proj, 3, -1)
+    hr, hz, hn = jnp.split(h_proj, 3, -1)
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    return (1.0 - z) * n + z * h
+
+
 def lstm_cell(x_proj, h, c, w_hh, b_hh):
     """One torch-math LSTM step. x_proj = x @ W_ih^T + b_ih, shape [B, 4H]."""
     hp = h @ w_hh.T + b_hh
