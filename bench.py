@@ -334,24 +334,37 @@ def run_matrix(args):
     import jax
 
     rows = []
-    for model, (impl_key, impls) in MODEL_IMPLS.items():
-        for impl in impls:
-            label = impl or "-"
-            try:
-                r = bench_tpu(
-                    args.batch_size, args.max_len, args.steps,
-                    args.steps_per_call, impl, model,
-                )
-            except Exception as e:  # record, keep going
-                rows.append((model, label, None, None, None, None, repr(e)[:80]))
-                continue
-            rows.append((
-                model, label, r["train_dps"], r["eval_dps"],
-                r["flops_per_step"], r["mfu"], "",
-            ))
-            print(f"  {model:8s} {label:10s} train={r['train_dps']:.0f} dia/s "
-                  f"eval={r['eval_dps']:.0f} dia/s "
-                  f"mfu={100 * (r['mfu'] or 0):.2f}%", flush=True)
+    # parity-config rows for the whole zoo, plus max-throughput operating
+    # points for the flagship and the latency-bound models (dia/s scales
+    # with B when the step is dominated by sequential-op latency)
+    runs = [
+        (model, impl, args.batch_size, impl or "-", "")
+        for model, (impl_key, impls) in MODEL_IMPLS.items()
+        for impl in impls
+    ] + [
+        ("cogmen", "dense", 256, "dense", "max-throughput B=256"),
+        ("dagerc", None, 128, "-", "max-throughput B=128"),
+        ("mmgcn", "structured", 64, "structured", "max-throughput B=64"),
+    ]
+    for model, impl, bs, label, note in runs:
+        if model == "mmin" and not note:
+            note = "utterance-level: dia/s = samples/s"
+        try:
+            r = bench_tpu(
+                bs, args.max_len, args.steps,
+                args.steps_per_call, impl, model,
+            )
+        except Exception as e:  # record, keep going
+            rows.append((model, label, None, None, None, None, repr(e)[:80]))
+            continue
+        rows.append((
+            model, label, r["train_dps"], r["eval_dps"],
+            r["flops_per_step"], r["mfu"], note,
+        ))
+        print(f"  {model:8s} {label:10s} B={bs:<4d} "
+              f"train={r['train_dps']:.0f} dia/s "
+              f"eval={r['eval_dps']:.0f} dia/s "
+              f"mfu={100 * (r['mfu'] or 0):.2f}%", flush=True)
 
     dev = jax.devices()[0]
     lines = [

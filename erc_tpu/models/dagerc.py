@@ -183,10 +183,12 @@ class DAGStack(nn.Module):
     chunk: int = 16
     remat: bool = False
     # 'pallas' fuses the within-block tail into one kernel with a
-    # hand-written backward (ops/pallas/dag_block) — the XLA form's AD
-    # backward is ~20 small ops/position and dominates the step (19 ms of
-    # a 23 ms step on v5e); 'xla' keeps the pure-jax form (CPU/tests);
-    # 'auto' picks pallas on TPU.
+    # hand-written backward (ops/pallas/dag_block); measured v5e it wins
+    # slightly on the forward (3.4 vs 4.3 ms) but its backward loses to
+    # XLA AD (45 vs 19 ms: Mosaic relayouts dominate the [B,C]×[B,C,D]
+    # broadcast chain), so 'auto' currently resolves to 'xla' everywhere.
+    # The recurrence is latency-bound either way — see BENCH_MATRIX.md
+    # for the roofline analysis and the large-batch operating point.
     impl: str = "auto"
 
     @nn.compact
@@ -245,9 +247,7 @@ class DAGStack(nn.Module):
                 (0, 3, 1, 2), (1, 0, 2, 3),
             )  # → [T, B, C, C]
 
-        use_pallas = self.impl == "pallas" or (
-            self.impl == "auto" and jax.default_backend() == "tpu"
-        )
+        use_pallas = self.impl == "pallas"
         addmask_w = block_diag(addmask)
         sm_w = block_diag(smp)
         addmask_blk = jnp.moveaxis(addmask.reshape(B, T, C, Lp), 1, 0)

@@ -45,8 +45,9 @@ class MMGCNParams(MMBaseParams):
         self.gcn_layers = 64
         self.drop_rate = 0.4
         self.adj_impl = self.choice("structured", "dense")
-        self.gcn_remat = True  # chunked remat (8 layers/trip): backward
-        # stores activations once per chunk, not per layer (ops.gnn)
+        self.gcn_remat = False  # chunked remat measured slower on v5e
+        # (1 115 vs 1 446 dia/s — ops/gnn.GCNIIStack note); the scan
+        # chunking itself is always on
         # 'packed' (default) masks the text biLSTM like torch packed
         # sequences; 'unpacked' reproduces the reference's executed graph
         # exactly — its lstm_l runs on the padded batch (mmgcn.py:69,115) so

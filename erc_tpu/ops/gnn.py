@@ -173,12 +173,12 @@ class GCNIIStack(nn.Module):
     lamda: float = 0.5
     alpha: float = 0.1
     dropout: float = 0.0
-    remat: bool = True  # chunked remat: the scan runs ``chunk`` layers per
-    # trip with jax.checkpoint around the trip body, so the backward stores
-    # the [B, N, nh] activations once per chunk instead of per layer
-    # (~chunk× less HBM residual traffic) and recomputes the cheap layer
-    # math.  Per-LAYER remat (the round-2 variant) lost on v5e because it
-    # saved the same carries while paying full recompute.
+    remat: bool = False  # optional CHUNKED remat (jax.checkpoint around a
+    # ``chunk``-layer trip body).  Measured v5e (B=32, L=96): per-layer
+    # remat (r2) and chunked remat (r3: 1 115 vs 1 446 dia/s) both lose —
+    # the recompute costs more than the saved residual traffic at these
+    # sizes — so it stays off; the chunking itself is kept (fewer scan
+    # trips).  Flip on via --gcn_remat for memory-constrained configs.
     chunk: int = 8
 
     @nn.compact
@@ -247,7 +247,7 @@ class GCNIIStackStructured(nn.Module):
     lamda: float = 0.5
     alpha: float = 0.1
     dropout: float = 0.0
-    remat: bool = True  # chunked remat — see GCNIIStack
+    remat: bool = False  # chunked remat — see GCNIIStack
     chunk: int = 8
 
     @nn.compact

@@ -44,6 +44,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _mxu_dtype():
+    """Match the XLA path's matmul precision: the trainer runs with
+    jax_default_matmul_precision='bfloat16' (MXU-native); full-f32 matmuls
+    inside the kernel would be both slower (multi-pass) and numerically
+    different from the XLA path."""
+    prec = jax.config.jax_default_matmul_precision
+    if prec in ("bfloat16", "tensorfloat32", "fastest", "default"):
+        return jnp.bfloat16
+    return None
+
+
+def _dot(a, b, dims=None):
+    dt = _mxu_dtype()
+    if dt is not None:
+        a = a.astype(dt)
+        b = b.astype(dt)
+    if dims is None:
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(a, b, dims, preferred_element_type=jnp.float32)
+
+
 def _gru_gates(xr, xz, xn, hr, hz, hn, h):
     """torch GRUCell from per-gate projections."""
     r = jax.nn.sigmoid(xr + hr)
@@ -76,10 +97,7 @@ def _attend(qc, Kw, amw_c, smw_c, V0w, V1w, num01_c, den_p_c, mp_c):
 
 def _mm3(x, W3, b3):
     """x @ W3[g] + b3[g] for the 3 gates → tuple of [B, D]."""
-    return tuple(
-        jnp.dot(x, W3[g], preferred_element_type=jnp.float32) + b3[g : g + 1, :]
-        for g in range(3)
-    )
+    return tuple(_dot(x, W3[g]) + b3[g : g + 1, :] for g in range(3))
 
 
 def _step_fwd(c, flag, qb, xcb, hppb, hb, num01, den_p, mp, amw, smw,
@@ -101,9 +119,9 @@ def _step_fwd(c, flag, qb, xcb, hppb, hb, num01, den_p, mp, amw, smw,
         hppb[:, c, 0], hppb[:, c, 1], hppb[:, c, 2], hb[:, c],
     )
     h1 = Cg + P
-    v0 = jnp.dot(h1, Wr0T, preferred_element_type=jnp.float32)
-    v1 = jnp.dot(h1, Wr1T, preferred_element_type=jnp.float32)
-    kw = jnp.dot(h1, wkc, preferred_element_type=jnp.float32)  # [B, 1]
+    v0 = _dot(h1, Wr0T)
+    v1 = _dot(h1, Wr1T)
+    kw = _dot(h1, wkc)  # [B, 1]
     return M, pack, hpc, xpp, g1, g2, h1, v0, v1, kw
 
 
@@ -130,14 +148,14 @@ def _fwd_body(flag, qb, xcb, hppb, hb, num01, den_p, mp, amw, smw,
 
 def _fwd_kernel(flag_ref, qb, xcb, hppb, hb, num01, den_p, mp, amw, smw,
                 Whc, bhc, Wip, bip, Wr0T, Wr1T, wkc,
-                h1_o, v0_o, v1_o, kw_o):
+                h1_o, v0_o, v1_o, kw_o, hpc_o, xpp_o):
     C = qb.shape[1]
     flag = flag_ref[0]
     v0_o[:] = jnp.zeros(v0_o.shape, v0_o.dtype)
     v1_o[:] = jnp.zeros(v1_o.shape, v1_o.dtype)
     kw_o[:] = jnp.zeros(kw_o.shape, kw_o.dtype)
     for c in range(C):
-        _, _, _, _, _, _, h1, v0, v1, kw = _step_fwd(
+        _, _, hpc, xpp, _, _, h1, v0, v1, kw = _step_fwd(
             c, flag, qb, xcb, hppb, hb, num01, den_p, mp, amw, smw,
             Whc[:], bhc[:], Wip[:], bip[:], Wr0T[:], Wr1T[:], wkc[:],
             kw_o[:], v0_o[:], v1_o[:],
@@ -146,6 +164,11 @@ def _fwd_kernel(flag_ref, qb, xcb, hppb, hb, num01, den_p, mp, amw, smw,
         v1_o[:, c, :] = v1
         kw_o[:, c : c + 1] = kw
         h1_o[:, c, :] = h1
+        # gate projections are the backward's residuals: the bwd kernel
+        # then needs NO matmuls to recompute the gates
+        for gi in range(3):
+            hpc_o[:, c, gi, :] = hpc[gi]
+            xpp_o[:, c, gi, :] = xpp[gi]
 
 
 def _gru_bwd(g, hn_proj, h, r, z, n):
@@ -162,85 +185,63 @@ def _gru_bwd(g, hn_proj, h, r, z, n):
 
 
 def _bwd_kernel(flag_ref, qb, xcb, hppb, hb, num01, den_p, mp, amw, smw,
-                Whc, bhc, Wip, bip, Wr0T, Wr1T, wkc, h1f, v0f, v1f, kwf,
+                Whc, bhc, Wip, bip, Wr0T, Wr1T, wkc,
+                h1f, v0f, v1f, kwf, hpcf, xppf,
                 dh1, dv0_in, dv1_in, dkw_in,
                 dqb_o, dxcb_o, dhppb_o, dhb_o, dnum01_o, dden_p_o, dmp_o,
-                dWhc_o, dbhc_o, dWip_o, dbip_o, dWr0T_o, dWr1T_o, dwkc_o):
-    """Reverse the block tail; activations recomputed from the forward's
-    outputs (see replay-safety note)."""
+                dWhc_o, dbhc_o, dWip_o, dbip_o, dWr0T_o, dWr1T_o, dwkc_o,
+                m_st, dhpc_st, dxpp_st):
+    """Reverse the block tail.
+
+    Per reverse position: VPU-only recompute (attention from the final
+    K/V buffers, gates from the saved projections) + 9 small matmuls that
+    are inherently sequential (cotangent accumulation through the
+    buffers).  All WEIGHT gradients are deferred to three batched
+    contractions over every (batch, position) pair at the end — K=B·C
+    fills the MXU instead of 2·C rank-B updates."""
     B, C = qb.shape
-    D = hb.shape[-1]
     flag = flag_ref[0]
-    for ref in (dWhc_o, dbhc_o, dWip_o, dbip_o, dWr0T_o, dWr1T_o, dwkc_o):
-        ref[:] = jnp.zeros(ref.shape, ref.dtype)
-    # running cotangents of the written buffer rows: start from the
-    # incoming gradients; later (already-processed) positions have added
-    # their attention-read contributions by the time row c is consumed
     dV0 = dv0_in[:]
     dV1 = dv1_in[:]
     dKw = dkw_in[:]
     for c in range(C - 1, -1, -1):
-        M, pack, hpc, xpp, g1, g2, h1, _, _, _ = _step_fwd(
-            c, flag, qb, xcb, hppb, hb, num01, den_p, mp, amw, smw,
-            Whc[:], bhc[:], Wip[:], bip[:], Wr0T[:], Wr1T[:], wkc[:],
-            kwf[:], v0f[:], v1f[:],
+        # ---- recompute (no matmuls: projections come from the residuals)
+        M, pack = _attend(
+            qb[:, c : c + 1], kwf[:], amw[:, c], smw[:, c], v0f[:], v1f[:],
+            num01[:, c], den_p[:, c : c + 1], mp[:, c : c + 1],
         )
+        if c == 0:
+            M = jnp.where(flag > 0, 0.0, M)
         lw, mw, ew, e0w, e1w, nw, dnw, sp, sw, den = pack
-        r1, z1, n1g = g1
-        r2, z2, n2g = g2
+        hpc = (hpcf[:, c, 0], hpcf[:, c, 1], hpcf[:, c, 2])
+        xpp = (xppf[:, c, 0], xppf[:, c, 1], xppf[:, c, 2])
+        r1 = jax.nn.sigmoid(xcb[:, c, 0] + hpc[0])
+        z1 = jax.nn.sigmoid(xcb[:, c, 1] + hpc[1])
+        n1g = jnp.tanh(xcb[:, c, 2] + r1 * hpc[2])
+        r2 = jax.nn.sigmoid(xpp[0] + hppb[:, c, 0])
+        z2 = jax.nn.sigmoid(xpp[1] + hppb[:, c, 1])
+        n2g = jnp.tanh(xpp[2] + r2 * hppb[:, c, 2])
+        h1 = h1f[:, c, :]
         # ---- backward through the out transforms
         g = dh1[:, c, :]
         dv0c = dV0[:, c, :]
         dv1c = dV1[:, c, :]
         dkwc = dKw[:, c : c + 1]
-        g = g + jax.lax.dot_general(
-            dv0c, Wr0T[:], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        g = g + jax.lax.dot_general(
-            dv1c, Wr1T[:], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        g = g + jax.lax.dot_general(
-            dkwc, wkc[:], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dWr0T_o[:] += jax.lax.dot_general(
-            h1, dv0c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dWr1T_o[:] += jax.lax.dot_general(
-            h1, dv1c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dwkc_o[:] += jax.lax.dot_general(
-            h1, dkwc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        g = g + _dot(dv0c, Wr0T[:], (((1,), (1,)), ((), ())))
+        g = g + _dot(dv1c, Wr1T[:], (((1,), (1,)), ((), ())))
+        g = g + _dot(dkwc, wkc[:], (((1,), (1,)), ((), ())))
         # ---- dual GRU backward (h1 = Cg + P, both get g)
         dxc3, dhpc3, dM = _gru_bwd(g, hpc[2], M, r1, z1, n1g)
         dxpp3, dhpp3, dhb_c = _gru_bwd(g, hppb[:, c, 2], hb[:, c], r2, z2, n2g)
         for gi in range(3):
             dxcb_o[:, c, gi, :] = dxc3[gi]
             dhppb_o[:, c, gi, :] = dhpp3[gi]
+            dhpc_st[:, c, gi, :] = dhpc3[gi]
+            dxpp_st[:, c, gi, :] = dxpp3[gi]
+            dM = dM + _dot(dhpc3[gi], Whc[:][gi], (((1,), (1,)), ((), ())))
+            dM = dM + _dot(dxpp3[gi], Wip[:][gi], (((1,), (1,)), ((), ())))
         dhb_o[:, c, :] = dhb_c
-        # hpc = M@Whc + bhc ; xpp = M@Wip + bip
-        for gi in range(3):
-            dWhc_o[gi, :, :] += jax.lax.dot_general(
-                M, dhpc3[gi], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dbhc_o[gi : gi + 1, :] += jnp.sum(dhpc3[gi], axis=0, keepdims=True)
-            dWip_o[gi, :, :] += jax.lax.dot_general(
-                M, dxpp3[gi], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dbip_o[gi : gi + 1, :] += jnp.sum(dxpp3[gi], axis=0, keepdims=True)
-            dM = dM + jax.lax.dot_general(
-                dhpc3[gi], Whc[:][gi], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dM = dM + jax.lax.dot_general(
-                dxpp3[gi], Wip[:][gi], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+        m_st[:, c, :] = M
         if c == 0:
             dM = jnp.where(flag > 0, 0.0, dM)
         # ---- attention combine backward: M = (num01·sp + nw·sw) / den
@@ -277,6 +278,26 @@ def _bwd_kernel(flag_ref, qb, xcb, hppb, hb, num01, den_p, mp, amw, smw,
         )
         dqb_o[:, c : c + 1] = jnp.sum(dlw, axis=-1, keepdims=True)
         dKw = dKw + dlw
+    # ---- batched weight gradients: one MXU contraction each over (B·C)
+    # (flattened first — Mosaic's matmul wants a single contracting dim)
+    D = hb.shape[-1]
+    first = (((0,), (0,)), ((), ()))
+    m2 = m_st[:].reshape(B * C, D)
+    h2 = h1f[:].reshape(B * C, D)
+    for gi in range(3):
+        dhpc2 = dhpc_st[:, :, gi, :].reshape(B * C, D)
+        dxpp2 = dxpp_st[:, :, gi, :].reshape(B * C, D)
+        dWhc_o[gi, :, :] = _dot(m2, dhpc2, first)
+        dWip_o[gi, :, :] = _dot(m2, dxpp2, first)
+        dbhc_o[gi : gi + 1, :] = jnp.sum(dhpc2, axis=0, keepdims=True)
+        dbip_o[gi : gi + 1, :] = jnp.sum(dxpp2, axis=0, keepdims=True)
+    dWr0T_o[:] = _dot(h2, dV0.reshape(B * C, D), first)
+    dWr1T_o[:] = _dot(h2, dV1.reshape(B * C, D), first)
+    # [D,1]-shaped reshapes (lane→sublane) don't lower; reduce on the VPU
+    # into [1, D] and let the XLA wrapper transpose
+    dwkc_o[:] = jnp.sum(
+        jnp.sum(h1f[:] * dKw[:, :, None], axis=0), axis=0, keepdims=True
+    )
 
 
 def _vmem():
@@ -285,6 +306,31 @@ def _vmem():
 
 def _interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
+
+
+def _dag_block_all(flag, qb, xcb, hppb, hb, num01, den_p, mp, amw, smw,
+                   Whc, bhc, Wip, bip, Wr0T, Wr1T, wkc):
+    B, C = qb.shape
+    D = hb.shape[-1]
+    dt = qb.dtype
+    return pl.pallas_call(
+        _fwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, C, D), dt),       # h1
+            jax.ShapeDtypeStruct((B, C, D), dt),       # V0w
+            jax.ShapeDtypeStruct((B, C, D), dt),       # V1w
+            jax.ShapeDtypeStruct((B, C), dt),          # Kw
+            jax.ShapeDtypeStruct((B, C, 3, D), dt),    # hpc residual
+            jax.ShapeDtypeStruct((B, C, 3, D), dt),    # xpp residual
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [_vmem()] * 16,
+        out_specs=tuple(_vmem() for _ in range(6)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,  # default 16M scoped limit
+        ),
+        interpret=_interpret(),
+    )(flag, qb, xcb, hppb, hb, num01, den_p, mp, amw, smw,
+      Whc, bhc, Wip, bip, Wr0T, Wr1T, wkc)
 
 
 @jax.custom_vjp
@@ -298,34 +344,20 @@ def dag_block(flag, qb, xcb, hppb, hb, num01, den_p, mp, amw, smw,
     num01 [B,C,D] / den_p, mp [B,C], within masks amw/smw [B,C,C],
     weights Whc/Wip [3,D,D], bhc/bip [3,D], Wr0T/Wr1T [D,D], wkc [D,1].
     Returns (h1 [B,C,D], V0w, V1w [B,C,D], Kw [B,C])."""
-    B, C = qb.shape
-    D = hb.shape[-1]
-    dt = qb.dtype
-    return pl.pallas_call(
-        _fwd_kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((B, C, D), dt),
-            jax.ShapeDtypeStruct((B, C, D), dt),
-            jax.ShapeDtypeStruct((B, C, D), dt),
-            jax.ShapeDtypeStruct((B, C), dt),
-        ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [_vmem()] * 16,
-        out_specs=tuple(_vmem() for _ in range(4)),
-        interpret=_interpret(),
-    )(flag, qb, xcb, hppb, hb, num01, den_p, mp, amw, smw,
-      Whc, bhc, Wip, bip, Wr0T, Wr1T, wkc)
+    return _dag_block_all(flag, qb, xcb, hppb, hb, num01, den_p, mp, amw,
+                          smw, Whc, bhc, Wip, bip, Wr0T, Wr1T, wkc)[:4]
 
 
 def _dag_block_fwd(*args):
-    outs = dag_block(*args)
-    return outs, (args, outs)
+    outs = _dag_block_all(*args)
+    return outs[:4], (args, outs)
 
 
 def _dag_block_bwd(res, cts):
     args, outs = res
     (flag, qb, xcb, hppb, hb, num01, den_p, mp, amw, smw,
      Whc, bhc, Wip, bip, Wr0T, Wr1T, wkc) = args
-    h1, V0w, V1w, Kw = outs
+    h1, V0w, V1w, Kw, hpcf, xppf = outs
     dh1, dV0, dV1, dKw = cts
     B, C = qb.shape
     D = hb.shape[-1]
@@ -346,19 +378,27 @@ def _dag_block_bwd(res, cts):
             jax.ShapeDtypeStruct((3, D), dt),          # dbip
             jax.ShapeDtypeStruct((D, D), dt),          # dWr0T
             jax.ShapeDtypeStruct((D, D), dt),          # dWr1T
-            jax.ShapeDtypeStruct((D, 1), dt),          # dwkc
+            jax.ShapeDtypeStruct((1, D), dt),          # dwkc (transposed)
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [_vmem()] * 24,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [_vmem()] * 26,
         out_specs=tuple(_vmem() for _ in range(14)),
+        scratch_shapes=[
+            pltpu.VMEM((B, C, D), jnp.float32),        # m_st
+            pltpu.VMEM((B, C, 3, D), jnp.float32),     # dhpc_st
+            pltpu.VMEM((B, C, 3, D), jnp.float32),     # dxpp_st
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=_interpret(),
     )(flag, qb, xcb, hppb, hb, num01, den_p, mp, amw, smw,
-      Whc, bhc, Wip, bip, Wr0T, Wr1T, wkc, h1, V0w, V1w, Kw,
-      dh1, dV0, dV1, dKw)
+      Whc, bhc, Wip, bip, Wr0T, Wr1T, wkc,
+      h1, V0w, V1w, Kw, hpcf, xppf, dh1, dV0, dV1, dKw)
     (dqb, dxcb, dhppb, dhb, dnum01, dden_p, dmp,
      dWhc, dbhc, dWip, dbip, dWr0T, dWr1T, dwkc) = grads
     return (None, dqb, dxcb, dhppb, dhb, dnum01, dden_p, dmp,
             jnp.zeros_like(amw), jnp.zeros_like(smw),
-            dWhc, dbhc, dWip, dbip, dWr0T, dWr1T, dwkc)
+            dWhc, dbhc, dWip, dbip, dWr0T, dWr1T, dwkc.T)
 
 
 dag_block.defvjp(_dag_block_fwd, _dag_block_bwd)
