@@ -5,11 +5,14 @@ over past context (predecessors until the previous same-speaker turn,
 windowp=1) with, per layer, a GAT gather over already-computed outputs and
 a dual GRU (node-GRU + proxy-GRU) sequential recurrence (dagerc.py:156-198).
 
-The O(L) python recurrence with a growing ``H1`` concat becomes a single
-``lax.scan`` over the utterance axis with fixed [B, L, D] carry buffers.
-The GAT's per-step linear transforms (Wr0/Wr1/key-proj of H1) are applied
-*incrementally* — each new node is transformed once when appended — turning
-the reference's O(L²·D²) retransforms into O(L·D²) + O(L²·D) attention.
+The O(L) python recurrence with a growing ``H1`` concat becomes, per
+layer, a blockwise-prefix ``lax.scan``: all queries/input projections are
+hoisted into whole-sequence matmuls, the attention against previous
+blocks' V/K buffers runs once per ``dag_chunk`` positions on the MXU
+(flash-style softmax combine, exact), and only a small per-position tail
+stays sequential (DAGStack; optionally fused into one pallas kernel via
+``--dag_impl=pallas``).  The reference's O(L²·D²) retransforms become
+O(L·D²) + O(L²·D) attention.
 
 Trainer parity: AdamW, grad-clip 5.0 (dagerc.py:230), ReduceLROnPlateau
 (dagerc.py:212), reimplement hyperparameters (dagerc.py:45-67).
@@ -386,12 +389,10 @@ class DAGStack(nn.Module):
 
 
 class DAGERCModule(nn.Module):
-    """fused=True (default) pipelines all gnn_layers inside ONE lax.scan
-    over the utterance axis: layer l+1 at step i depends only on layer l at
-    step i (causality), so the 4×L sequential iterations collapse to L
-    iterations doing 4 layers' work each — same math, ~4× less scan
-    bookkeeping (parity: test_dagerc_layer fused↔layered,
-    test_model_torch_parity vs the reference loops)."""
+    """fused=True (default) runs the blockwise-prefix DAGStack (see its
+    docstring); fused=False chains per-layer DAGLayer scans — the
+    reference-shaped form kept as the parity oracle (test_dagerc_layer
+    fused↔layered, test_model_torch_parity vs the reference loops)."""
 
     emb_dim: int
     n_classes: int
