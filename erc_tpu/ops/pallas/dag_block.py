@@ -48,7 +48,11 @@ def _mxu_dtype():
     """Match the XLA path's matmul precision: the trainer runs with
     jax_default_matmul_precision='bfloat16' (MXU-native); full-f32 matmuls
     inside the kernel would be both slower (multi-pass) and numerically
-    different from the XLA path."""
+    different from the XLA path.  TPU-only: the CPU backend ignores the
+    precision flag, so interpret-mode runs (tests) must not cast either.
+    """
+    if jax.default_backend() != "tpu":
+        return None
     prec = jax.config.jax_default_matmul_precision
     if prec in ("bfloat16", "tensorfloat32", "fastest", "default"):
         return jnp.bfloat16
