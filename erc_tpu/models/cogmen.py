@@ -84,14 +84,15 @@ class GNN(nn.Module):
     @nn.compact
     def __call__(self, x, speakers, lengths, mask, train: bool = False):
         num_relations = 2 * self.n_speakers**2
-        # 'auto': dense — measured on v5e (bench.py --matrix, r2): dense
-        # beats the banded Pallas path at every reference scale (S=2 L=96:
-        # 5183 vs 4950; dgcn S=9 R=162: 2708 vs 2352; L=192: 4018 vs 3778
-        # dia/s).  The [B,L,L] relation scan rides the MXU; the band kernel
-        # is VPU-bound.  'banded' stays selectable for the L≫256 regime.
+        # 'auto': banded — two matrix rounds on v5e agree the banded Pallas
+        # path wins COGMEN at reference scale (train 4857>4532 / 5007>4669,
+        # eval 6909>5745 / 7366>3751 dia/s): with R=2S²=8 relations the
+        # band kernel's wp+wf+1 window beats streaming the full [B, L, L]
+        # relation scan.  DGCN (R=162, GraphConv-shaped) keeps dense — see
+        # models/dgcn.py.
         impl = self.graph_impl
         if impl == "auto":
-            impl = "banded" if x.shape[1] > 256 else "dense"
+            impl = "banded"
         if impl == "banded":
             x = BandedRGCN(
                 self.h1_dim, num_relations, self.n_speakers, self.wp, self.wf,

@@ -141,8 +141,10 @@ class DGCNModule(nn.Module):
             bidirectional=True, dropout=self.drop_rate, name="rnn",
         )(x, mask, deterministic=deterministic)
 
-        # measured v5e (r2): dense wins at S=2 (8833 vs 7269), S=9 R=162
-        # (2708 vs 2352) and L=192 (4018 vs 3778 dia/s) — see cogmen.py note
+        # measured v5e (r2+r3): dense wins DGCN at every reference scale
+        # (S=2: 8833 vs 7269 / 9083 vs 7207; S=9 R=162: 2708 vs 2352;
+        # L=192: 4018 vs 3778 dia/s) — COGMEN's auto picks banded instead
+        # (cogmen.py note); the two models weight the kernels differently
         impl = self.graph_impl
         if impl == "auto":
             impl = "banded" if L > 256 else "dense"
