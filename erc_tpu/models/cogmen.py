@@ -84,15 +84,16 @@ class GNN(nn.Module):
     @nn.compact
     def __call__(self, x, speakers, lengths, mask, train: bool = False):
         num_relations = 2 * self.n_speakers**2
-        # 'auto': banded — two matrix rounds on v5e agree the banded Pallas
-        # path wins COGMEN at reference scale (train 4857>4532 / 5007>4669,
-        # eval 6909>5745 / 7366>3751 dia/s): with R=2S²=8 relations the
-        # band kernel's wp+wf+1 window beats streaming the full [B, L, L]
-        # relation scan.  DGCN (R=162, GraphConv-shaped) keeps dense — see
-        # models/dgcn.py.
+        # 'auto': dense — COGMEN train throughput for dense vs the banded
+        # Pallas path flips run to run inside the ±10-15% tunnel noise
+        # (matrix r2/r3 banded 4857/5007 vs dense 4532/4669; full-length
+        # bench dense 5961 vs banded 5451), while banded is consistently
+        # the better EVAL path (7366-10451 vs 3751-8196 dia/s).  Dense
+        # stays the training default; pass --graph_impl=banded for
+        # eval/serving-heavy workloads or L≫256.
         impl = self.graph_impl
         if impl == "auto":
-            impl = "banded"
+            impl = "banded" if x.shape[1] > 256 else "dense"
         if impl == "banded":
             x = BandedRGCN(
                 self.h1_dim, num_relations, self.n_speakers, self.wp, self.wf,
