@@ -111,3 +111,101 @@ def load_tb_events(log_dir: str) -> Dict[str, List[tuple]]:
     for tag in acc.Tags().get("scalars", []):
         out[tag] = [(e.step, e.value) for e in acc.Scalars(tag)]
     return out
+
+
+# -- pandas collection + condition query DSL (reference: lumo/analyse/
+#    collect.py:5-14 + condition.py:30-180) --------------------------------
+
+
+class Compare:
+    """Deferred column predicate: ``C.f1 >= 0.6``, ``C.dataset == "x"``,
+    ``C.seed.in_([1, 2])``; a bare ``C.name`` selects the column and
+    ``~C.name`` drops it (condition.py:30-101 semantics)."""
+
+    def __init__(self, name: Optional[str] = None):
+        self.name = name
+        self.op: Optional[str] = None
+        self.value = None
+        self.drop = False
+
+    def __getattr__(self, item):
+        if item.startswith("_"):
+            raise AttributeError(item)
+        return Compare(item)
+
+    def __getitem__(self, item):
+        return Compare(item)
+
+    def __invert__(self):
+        c = Compare(self.name)
+        c.drop = True
+        return c
+
+    def _bin(self, op, other):
+        c = Compare(self.name)
+        c.op, c.value = op, other
+        return c
+
+    def __ge__(self, other):
+        return self._bin(">=", other)
+
+    def __le__(self, other):
+        return self._bin("<=", other)
+
+    def __gt__(self, other):
+        return self._bin(">", other)
+
+    def __lt__(self, other):
+        return self._bin("<", other)
+
+    def __eq__(self, other):  # noqa: D105
+        return self._bin("==", other)
+
+    def __ne__(self, other):
+        return self._bin("!=", other)
+
+    def in_(self, lis):
+        return self._bin("in", set(lis))
+
+    def not_in_(self, lis):
+        return self._bin("notin", set(lis))
+
+    def __repr__(self):
+        return f"{self.name} {self.op} {self.value}"
+
+
+C = Compare()
+
+
+def collect_df(exp_name: Optional[str] = None, root: Optional[str] = None):
+    """collect_metrics as a pandas DataFrame (collect.py:5-14)."""
+    import pandas as pd
+
+    return pd.DataFrame(collect_metrics(exp_name, root))
+
+
+def filter_by_condition(df, *conditions: Compare):
+    """Apply Compare predicates to a DataFrame; bare names select columns,
+    inverted names drop them (condition.py:107-150)."""
+    import operator as op_mod
+
+    ops = {
+        ">=": op_mod.ge, "<=": op_mod.le, ">": op_mod.gt, "<": op_mod.lt,
+        "==": op_mod.eq, "!=": op_mod.ne,
+        "in": lambda s, v: s.isin(v), "notin": lambda s, v: ~s.isin(v),
+    }
+    remains, drops = [], []
+    for cond in conditions:
+        if cond.op is None:
+            (drops if cond.drop else remains).append(cond.name)
+            continue
+        if cond.value is None and cond.op in ("==", "!="):
+            mask = df[cond.name].isna() if cond.op == "==" else ~df[cond.name].isna()
+        else:
+            mask = ops[cond.op](df[cond.name], cond.value)
+        df = df[mask]
+    if remains:
+        df = df[remains]
+    if drops:
+        df = df.drop(columns=[d for d in drops if d in df.columns])
+    return df

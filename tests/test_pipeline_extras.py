@@ -158,3 +158,29 @@ def test_split_weight_decay_mask():
     assert float(np.abs(np.asarray(updates["dense"]["kernel"])).max()) > 0
     assert float(np.abs(np.asarray(updates["dense"]["bias"])).max()) == 0
     assert float(np.abs(np.asarray(updates["bn"]["scale"])).max()) == 0
+
+
+def test_analyse_condition_dsl(tmp_path):
+    """Compare DSL + pandas collection (reference lumo/analyse
+    condition.py/collect.py surface)."""
+    import json
+    import os
+
+    from erc_tpu.analyse import C, collect_df, filter_by_condition
+
+    root = str(tmp_path)
+    for test, f1, seed in (("t1", 0.7, 1), ("t2", 0.4, 2), ("t3", 0.9, 3)):
+        d = os.path.join(root, "experiment", "expA", test)
+        os.makedirs(d)
+        json.dump({"f1": f1, "acc": f1 - 0.1}, open(os.path.join(d, "metrics.json"), "w"))
+        open(os.path.join(d, "params.yaml"), "w").write(f"dataset: synth\nseed: {seed}\n")
+
+    df = collect_df(root=root)
+    assert len(df) == 3 and "f1" in df.columns
+
+    out = filter_by_condition(df, C.f1 >= 0.5)
+    assert sorted(out["test"]) == ["t1", "t3"]
+    out = filter_by_condition(df, C.seed.in_([1, 2]), C.test, C.f1)
+    assert list(out.columns) == ["test", "f1"] and len(out) == 2
+    out = filter_by_condition(df, C.f1 > 0.0, ~C.acc)
+    assert "acc" not in out.columns and len(out) == 3
