@@ -44,6 +44,12 @@ class InferenceEngine:
         p = params_cls()
         if dataset:
             p.dataset = dataset
+        # serving is forward-only: the banded graph path reliably wins
+        # eval on v5e (BENCH_MATRIX.md: 7.4-10.5k vs 3.8-8.2k dia/s)
+        # while the train-side dense/banded gap is noise — prefer banded
+        # here unless the caller overrides
+        if "graph_impl" not in param_overrides and p.get("graph_impl") == "auto":
+            p.graph_impl = "banded"
         for k, v in param_overrides.items():
             p[k] = v
         p.iparams()
