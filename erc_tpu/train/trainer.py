@@ -685,7 +685,11 @@ class Trainer:
             self.logger.info("Best Results", m)
             self.pred_info.append([self._true, self._pred])
             self.pred_info.flush()
-            if res["f1"] >= float(self.database.todict().get("f1", 0.0)):
+            if res["f1"] >= float(self.database.todict().get("f1", 0.0)) and (
+                p.get("select_on", "test") == "test"
+            ):
+                # --select_on=val hands the best.model.ckpt copy to the val
+                # stage (evaluate) — two selectors must not clobber it
                 self.save_model("best", is_best=True)
         res["Lall"] = test_loss
         if self.plateau_source == "test":
