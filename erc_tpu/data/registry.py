@@ -141,7 +141,19 @@ def _synthetic_loader(name: str):
         return lambda root, split="train", **kw: mmin.synthetic_mmin(n_cls, split)
     if "mosei" in name:
         return lambda root, split="train", **kw: synthetic.synthetic_mosei(n_cls, split)
-    prefix = "meld-mmgcn" if "meld" in name else "iemocap-cogmen"
+    # the corpus token picks the generated dims, which must agree with the
+    # params grammar's (models/base.py) — an unrecognized name would
+    # otherwise surface as a deep flax shape error at apply time
+    if "meld" in name:
+        prefix = "meld-mmgcn"
+    elif "cogmen" in name or "iemocap" in name:
+        prefix = "iemocap-cogmen"
+    else:
+        raise ValueError(
+            f"unrecognized synthetic dataset {name!r}: use synthetic-cogmen-N,"
+            " synthetic-iemocap-N, synthetic-meld-N, synthetic-mosei-N,"
+            " synthetic-mmin-N or synthetic-daily-token-N"
+        )
     return lambda root, split="train", **kw: synthetic.synthetic_erc(prefix, n_cls, split)
 
 

@@ -83,7 +83,9 @@ class MMBaseParams(BaseParams):
                 self.class_names = ["hap", "sad", "neu", "ang"]
             elif self.n_classes == 6:
                 self.class_names = ["hap", "sad", "neu", "ang", "exc", "fru"]
-            if "cogmen" in ds:
+            if "cogmen" in ds or "synthetic" in ds:
+                # synthetic-iemocap-* generates cogmen-shaped features
+                # (data/synthetic._DIMS) — grammar must agree
                 self.hidden_audio = 100
                 self.hidden_text = 100
                 self.hidden_visual = 512

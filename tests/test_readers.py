@@ -308,3 +308,26 @@ def test_registry_covers_reference_keys():
     ]
     missing = [k for k in reference_active + deprecated_requested if k not in regist_data]
     assert not missing, f"registry rows missing: {missing}"
+
+
+def test_synthetic_names_dims_agree_with_grammar():
+    """Every supported synthetic ERC name must give the same feature dims
+    from the generator (data/synthetic._DIMS via the registry) and from the
+    params grammar (models/base.py) — a mismatch surfaces as a deep flax
+    shape error at apply time (round-3 burn-in finding)."""
+    import pytest
+
+    from erc_tpu.data.registry import pick_datas
+    from erc_tpu.models.base import MMBaseParams
+
+    for name in ("synthetic-cogmen-6", "synthetic-iemocap-4", "synthetic-meld-7"):
+        p = MMBaseParams()
+        p.dataset = name
+        p.iparams()
+        s = pick_datas("", name, split="train")[0]
+        assert s["text"].shape[-1] == p.hidden_text, name
+        assert s["audio"].shape[-1] == p.hidden_audio, name
+        assert s["visual"].shape[-1] == p.hidden_visual, name
+
+    with pytest.raises(ValueError, match="unrecognized synthetic"):
+        pick_datas("", "synthetic-mmgcn-7", split="train")
