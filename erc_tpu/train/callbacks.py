@@ -122,6 +122,11 @@ class AutoResume(Callback):
 
     def train_begin(self, tr):
         latest = tr.saver.latest_checkpoint()
+        if not latest:
+            # a relaunched (preempted) job gets a FRESH test dir, so its own
+            # saver is empty — fall back to the newest sibling run of the
+            # same experiment with a matching params hash
+            latest = self._latest_sibling_checkpoint(tr)
         if latest:
             tr.load_checkpoint(latest)
             meta_path = latest + ".json"
@@ -136,6 +141,28 @@ class AutoResume(Callback):
                 f"auto-resumed from {latest} (eidx={tr.eidx}, "
                 f"global_steps={tr.global_steps})"
             )
+
+    @staticmethod
+    def _latest_sibling_checkpoint(tr):
+        import glob
+
+        exp_blob = os.path.dirname(tr.exp.blob_dir)  # <blobroot>/<exp_name>
+        want_hash = tr.params.hash()
+        candidates = []
+        for path in glob.glob(os.path.join(exp_blob, "*", "saver", "checkpoint.*.ckpt")):
+            if os.path.dirname(os.path.dirname(path)) == tr.exp.blob_dir:
+                continue  # own run (already checked)
+            meta_path = path + ".json"
+            if os.path.exists(meta_path):
+                try:
+                    with open(meta_path) as f:
+                        h = json.load(f).get("params_hash")
+                    if h is not None and h != want_hash:
+                        continue  # different config — do not resume across it
+                except (OSError, json.JSONDecodeError):
+                    continue
+            candidates.append(path)
+        return max(candidates, key=os.path.getmtime) if candidates else None
 
 
 class EvalFirst(Callback):

@@ -715,7 +715,10 @@ class Trainer:
         return self.saver.save_checkpoint(
             self.global_steps, self._state_tree(),
             meta={"eidx": self.eidx, "global_steps": self.global_steps,
-                  "epoch_end": bool(epoch_end)},
+                  "epoch_end": bool(epoch_end),
+                  # lets a relaunched --resume job find compatible sibling
+                  # checkpoints (AutoResume._latest_sibling_checkpoint)
+                  "params_hash": self.params.hash()},
             is_best=is_best,
         )
 
