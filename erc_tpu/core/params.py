@@ -218,6 +218,25 @@ class Params:
             json.dumps(self.to_dict(), sort_keys=True, default=str).encode()
         ).hexdigest()[:16]
 
+    # run-control knobs that a preempted job legitimately changes when it
+    # is relaunched (--resume with a longer --epoch, different cadences…);
+    # everything else (arch, optimizer, data) defines resume identity
+    _VOLATILE_KEYS = frozenset({
+        "epoch", "resume", "eval_per_epoch", "eval_first", "eval_val",
+        "select_on", "checkpoint_per_epoch", "checkpoint_per_step",
+        "keypoint_per_epoch", "batch_count", "heartbeat", "profile_steps",
+        "log_every", "prefetch", "steps_per_call", "device", "pretrain_path",
+    })
+
+    def resume_hash(self) -> str:
+        """Identity hash for checkpoint-resume compatibility: the config
+        minus run-control knobs (AutoResume sibling discovery)."""
+        d = {k: v for k, v in self.to_dict().items()
+             if k not in self._VOLATILE_KEYS}
+        return hashlib.md5(
+            json.dumps(d, sort_keys=True, default=str).encode()
+        ).hexdigest()[:16]
+
     # -- CLI ------------------------------------------------------------------
     def from_args(self, argv: Optional[list] = None) -> "Params":
         """Apply ``--key=value`` / ``--key value`` / ``--flag`` overrides.

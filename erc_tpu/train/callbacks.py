@@ -147,7 +147,7 @@ class AutoResume(Callback):
         import glob
 
         exp_blob = os.path.dirname(tr.exp.blob_dir)  # <blobroot>/<exp_name>
-        want_hash = tr.params.hash()
+        want_hash = tr.params.resume_hash()
         candidates = []
         for path in glob.glob(os.path.join(exp_blob, "*", "saver", "checkpoint.*.ckpt")):
             if os.path.dirname(os.path.dirname(path)) == tr.exp.blob_dir:

@@ -717,8 +717,9 @@ class Trainer:
             meta={"eidx": self.eidx, "global_steps": self.global_steps,
                   "epoch_end": bool(epoch_end),
                   # lets a relaunched --resume job find compatible sibling
-                  # checkpoints (AutoResume._latest_sibling_checkpoint)
-                  "params_hash": self.params.hash()},
+                  # checkpoints (AutoResume._latest_sibling_checkpoint);
+                  # volatile run-control knobs (epoch, cadences) excluded
+                  "params_hash": self.params.resume_hash()},
             is_best=is_best,
         )
 

@@ -139,25 +139,36 @@ def test_auto_resume_continues_epochs_end_to_end(tmp_path):
     assert latest > ck1  # zero-padded names sort by step
 
 
+def _train_epochs_run(tr):
+    """Number of epochs the trainer actually TRAINED (train-stage board
+    rows) — distinguishes a resumed run from a fresh one."""
+    import json as _json
+
+    rows = [_json.loads(l) for l in open(tr.exp.test_file("board.jsonl"))]
+    return sum(1 for r in rows if r.get("stage") == "train")
+
+
 def test_auto_resume_finds_sibling_run(tmp_path):
     """Real relaunch scenario (round-3 hardware burn-in finding): a
     preempted job relaunched with --resume gets a FRESH test dir whose own
     saver is empty — AutoResume must fall back to the newest sibling run
-    of the same experiment with a matching params hash."""
+    of the same experiment with a compatible resume_hash (run-control
+    knobs like --epoch may change across the relaunch)."""
     tr1 = _trainer(tmp_path, checkpoint_per_epoch=1)
     tr1.train()
     steps_per_epoch = tr1.global_steps
 
-    # fresh trainer: NEW test dir, same experiment + params
+    # fresh trainer: NEW test dir, same experiment + params, longer epoch
     tr2 = _trainer(tmp_path, checkpoint_per_epoch=1, resume=True, epoch=3)
     assert tr2.exp.test_name != tr1.exp.test_name
     assert tr2.saver.latest_checkpoint() is None  # own saver empty
     tr2.train()
-    assert tr2.global_steps == 3 * steps_per_epoch  # epochs 1..2 only
+    assert tr2.global_steps == 3 * steps_per_epoch
     assert tr2.eidx == 2
+    assert _train_epochs_run(tr2) == 2  # resumed: trained epochs 1..2 ONLY
 
     # a sibling with a DIFFERENT config must NOT be resumed across
     tr3 = _trainer(tmp_path, checkpoint_per_epoch=1, resume=True, epoch=1)
-    tr3.params.optim.lr = 0.0123  # different config → different params hash
+    tr3.params.optim.lr = 0.0123  # arch/optim change → different resume_hash
     tr3.train()
-    assert tr3.global_steps == steps_per_epoch  # fresh epoch 0 only
+    assert _train_epochs_run(tr3) == 1  # fresh epoch 0
