@@ -143,3 +143,70 @@ class MemoryBank:
         size = bank.shape[0]
         idx = (ptr + jnp.arange(n)) % size
         return bank.at[idx].set(feats), (ptr + n) % size
+
+
+# --------------------------------------------------------------------------
+# legacy raw-audio augmentation helpers (reference:
+# augmentations/audio_strategies.py:24-66 — the deprecated raw-audio track).
+# Host-side pipeline ops (they run in the data loader on variable-length
+# clips, before padding/batching — not under jit), but with EXPLICIT rng:
+# a np.random.Generator is threaded instead of the reference's global
+# random/np.random state, matching the framework's no-hidden-state rule.
+
+import numpy as np  # noqa: E402  (host-side section)
+
+
+def audio_random_crop(max_size: int):
+    """Crop a random window of ``max_size`` samples (audio_strategies.py:24)."""
+
+    def inner(x: np.ndarray, rng: np.random.Generator):
+        size = len(x)
+        if size <= max_size:
+            return x
+        left = int(rng.integers(0, size - max_size))
+        return x[left : left + max_size]
+
+    return inner
+
+
+def audio_center_crop(max_size: int):
+    """Crop the centered window of ``max_size`` samples (audio_strategies.py:45)."""
+
+    def inner(x: np.ndarray, rng: np.random.Generator = None):
+        size = len(x)
+        if size <= max_size:
+            return x
+        left = (size - max_size) // 2
+        return x[left : left + max_size]
+
+    return inner
+
+
+def audio_gauss_noise(ratio: float = 20.0, p: float = 0.5):
+    """Add zero-mean gaussian noise with std = max(x)·ratio/100, with
+    probability ``p`` (audio_strategies.py:35)."""
+
+    def inner(x: np.ndarray, rng: np.random.Generator):
+        if rng.random() < p:
+            x = x + rng.normal(0.0, float(np.max(x)) * ratio / 100.0, x.shape)
+        return x
+
+    return inner
+
+
+class AudioCompose:
+    """Sequential host-side audio pipeline (audio_strategies.py:55-66);
+    falsy entries are skipped.  Each op takes (x, rng)."""
+
+    def __init__(self, *ops):
+        self.ops = list(ops)
+
+    def append(self, op):
+        self.ops.append(op)
+
+    def __call__(self, x: np.ndarray, rng: np.random.Generator = None):
+        rng = rng if rng is not None else np.random.default_rng(0)
+        for op in self.ops:
+            if op:
+                x = op(x, rng)
+        return x

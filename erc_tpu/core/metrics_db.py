@@ -30,8 +30,12 @@ def _jsonable(v: Any) -> Any:
 
 
 class BestMetrics:
-    def __init__(self, path: str):
+    def __init__(self, path: str, write: bool = True):
+        # write=False (non-main processes): CAS decisions still happen
+        # in-memory — identical on every process — but only process 0
+        # touches the file (concurrent writers would corrupt it)
         self.path = path
+        self.write = write
         self._data: Dict[str, Any] = {}
         if os.path.exists(path):
             with open(path) as f:
@@ -74,6 +78,8 @@ class BestMetrics:
         return dict(self._data)
 
     def flush(self):
+        if not self.write:
+            return
         with open(self.path, "w") as f:
             json.dump(self._data, f, indent=2)
 
@@ -85,8 +91,9 @@ class BestMetrics:
 
 
 class MetricBoard:
-    def __init__(self, path: str):
+    def __init__(self, path: str, write: bool = True):
         self.path = path
+        self.write = write
         self._buf = []
 
     def append(self, metrics: Dict[str, Any], step: int, stage: str = "train"):
@@ -95,9 +102,10 @@ class MetricBoard:
     def flush(self):
         if not self._buf:
             return
-        with open(self.path, "a") as f:
-            for row in self._buf:
-                f.write(json.dumps(row, default=str) + "\n")
+        if self.write:
+            with open(self.path, "a") as f:
+                for row in self._buf:
+                    f.write(json.dumps(row, default=str) + "\n")
         self._buf.clear()
 
     @staticmethod
@@ -109,8 +117,9 @@ class MetricBoard:
 
 
 class PredictionStore:
-    def __init__(self, path: str):
+    def __init__(self, path: str, write: bool = True):
         self.path = path
+        self.write = write
         self._buf = []
 
     def append(self, item):
@@ -119,7 +128,8 @@ class PredictionStore:
     def flush(self):
         if not self._buf:
             return
-        with open(self.path, "a") as f:
-            for row in self._buf:
-                f.write(json.dumps(row) + "\n")
+        if self.write:
+            with open(self.path, "a") as f:
+                for row in self._buf:
+                    f.write(json.dumps(row) + "\n")
         self._buf.clear()

@@ -161,6 +161,26 @@ def n_classes_of(dataset_name: str) -> int:
     return round(float(dataset_name.split("-")[-1]))
 
 
+# corpora whose readers expose a REAL validation split: MOSEI/MOSI carry
+# valid_id lists (reference mosei_feature.py:131-143), DailyDialog ships a
+# validation/ directory (data/dailydialog.py).  IEMOCAP/MELD readers alias
+# val→test, so a val stage there would silently select on the test set.
+_VAL_CORPORA = frozenset({"mosei", "mosi", "dailydialog"})
+# feature sets with their own val folds regardless of corpus (MMIN h5 dumps)
+_VAL_FEATURE_SETS = frozenset({"mmin"})
+
+
+def dataset_has_val(dataset_name: str) -> bool:
+    """Registry property: does this dataset have a real validation split?
+
+    Parsed from the name grammar (corpus + feature-set tokens), NOT a
+    substring match — a corpus name appearing as a feature tag elsewhere
+    must not accidentally enable a val stage."""
+    toks = dataset_name.split("-")
+    corpus = toks[1] if toks[0] == "synthetic" and len(toks) > 1 else toks[0]
+    return corpus in _VAL_CORPORA or bool(_VAL_FEATURE_SETS.intersection(toks))
+
+
 def pick_datas(root, dataset_name: str, split: str = "train", **kw):
     """Resolve name → sample list (reference: datas/__init__.py:117-121).
 

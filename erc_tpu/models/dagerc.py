@@ -49,8 +49,11 @@ class DAGERCParams(MMBaseParams):
         self.windowp = 1
         self.hidden_dim = 300
         # DAGStack blocking: utterances per scan trip; remat of the block
-        # body; and the within-block implementation (auto = fused pallas
-        # kernel on TPU, pure-XLA elsewhere) — see DAGStack docstring
+        # body; and the within-block implementation.  auto currently
+        # resolves to the XLA path everywhere (the fused pallas kernel wins
+        # on forward but its hand-written backward loses to XLA AD —
+        # measured in BENCH_MATRIX.md); --dag_impl=pallas selects it
+        # explicitly — see DAGStack docstring
         self.dag_chunk = 16
         self.dag_remat = False
         self.dag_impl = self.choice("auto", "pallas", "xla")

@@ -152,15 +152,17 @@ class AutoResume(Callback):
         for path in glob.glob(os.path.join(exp_blob, "*", "saver", "checkpoint.*.ckpt")):
             if os.path.dirname(os.path.dirname(path)) == tr.exp.blob_dir:
                 continue  # own run (already checked)
+            # a sibling is acceptable ONLY with a readable meta sidecar whose
+            # params_hash matches — a hash-less/meta-less checkpoint may come
+            # from an incompatible config and must not be silently resumed
             meta_path = path + ".json"
-            if os.path.exists(meta_path):
-                try:
-                    with open(meta_path) as f:
-                        h = json.load(f).get("params_hash")
-                    if h is not None and h != want_hash:
-                        continue  # different config — do not resume across it
-                except (OSError, json.JSONDecodeError):
-                    continue
+            try:
+                with open(meta_path) as f:
+                    h = json.load(f).get("params_hash")
+            except (OSError, json.JSONDecodeError):
+                continue
+            if h != want_hash:
+                continue  # different (or unknown) config — do not resume
             candidates.append(path)
         return max(candidates, key=os.path.getmtime) if candidates else None
 

@@ -29,13 +29,20 @@ def _to_host(tree):
 
 
 class Saver:
-    def __init__(self, save_dir: str, max_keep: int = 3):
+    def __init__(self, save_dir: str, max_keep: int = 3, write: bool = True):
+        # write=False (non-main processes): all save_* calls become no-ops
+        # that still return the canonical path — on a shared filesystem the
+        # main process writes that exact file, and concurrent writers from
+        # sibling processes would corrupt it
         self.save_dir = save_dir
         self.max_keep = max_keep
+        self.write = write
         os.makedirs(save_dir, exist_ok=True)
 
     # -- low level ------------------------------------------------------------
     def _write(self, path: str, tree: Any, meta: Optional[Dict] = None):
+        if not self.write:
+            return path
         with open(path, "wb") as f:
             f.write(serialization.to_bytes(_to_host(tree)))
         if meta is not None:
@@ -53,15 +60,16 @@ class Saver:
     ) -> str:
         path = os.path.join(self.save_dir, f"checkpoint.{step:08d}.ckpt")
         self._write(path, tree, meta)
-        if is_best:
+        if is_best and self.write:
             shutil.copy(path, os.path.join(self.save_dir, "best.checkpoint.ckpt"))
-        self._prune()
+        if self.write:
+            self._prune()
         return path
 
     def save_model(self, tag: str, tree: Any, meta: Optional[Dict] = None, is_best=False) -> str:
         path = os.path.join(self.save_dir, f"model.{tag}.ckpt")
         self._write(path, tree, meta)
-        if is_best:
+        if is_best and self.write:
             shutil.copy(path, os.path.join(self.save_dir, "best.model.ckpt"))
         return path
 

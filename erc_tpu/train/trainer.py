@@ -128,10 +128,16 @@ class Trainer:
         self.exp = Experiment(exp_name or f"erc_tpu.{type(self).__name__}", test_name=test_name)
         self.exp.record_start()
         self.logger.add_log_dir(self.exp.test_dir)
-        self.database = BestMetrics(self.exp.test_file("metrics.json"))
-        self.metric_board = MetricBoard(self.exp.test_file("board.jsonl"))
-        self.pred_info = PredictionStore(self.exp.blob_file("predictions.jsonl"))
-        self.saver = Saver(self.exp.blob_file("", "saver") or self.exp.blob_dir + "/saver")
+        # only process 0 writes run artifacts: multi-process runs share one
+        # test dir (broadcast above), so concurrent writers would corrupt
+        # checkpoints and duplicate board rows.  Decisions that read these
+        # stores stay identical everywhere — eval state is allgathered first.
+        writer = meshlib.is_main_process()
+        self.database = BestMetrics(self.exp.test_file("metrics.json"), write=writer)
+        self.metric_board = MetricBoard(self.exp.test_file("board.jsonl"), write=writer)
+        self.pred_info = PredictionStore(self.exp.blob_file("predictions.jsonl"), write=writer)
+        self.saver = Saver(self.exp.blob_file("", "saver") or self.exp.blob_dir + "/saver",
+                           write=writer)
         self.mesh = meshlib.make_mesh()
         self.callbacks: List[Any] = []
 
@@ -405,6 +411,15 @@ class Trainer:
         self.initialize()
         self._build_step_fns()
         self.icallbacks(p)
+        if p.get("select_on", "test") == "val" and not self.dataset_has_val():
+            # --select_on=val on a dataset without a real val split would
+            # silently disable best-model saving entirely (test() stops
+            # saving 'best', evaluate() never runs) — fall back loudly
+            self.logger.info(
+                f"--select_on=val but dataset {p.dataset!r} has no real val "
+                "split (val aliases test); falling back to select_on=test"
+            )
+            p.select_on = "test"
         heartbeat = None
         if p.get("heartbeat", True):
             heartbeat = self.exp.start_heartbeat()
@@ -586,12 +601,13 @@ class Trainer:
             )
 
     def dataset_has_val(self) -> bool:
-        """Datasets with a *real* validation split: MOSEI ``valid_id``
-        (reference mosei_feature.py:131-143) and the MMIN folds.  The
-        IEMOCAP/MELD readers alias val→test, so validating there would
-        select on the test set."""
-        d = str(self.params.dataset)
-        return "mosei" in d or "mmin" in d
+        """Registry property (data/registry.py): True only for datasets whose
+        readers expose a real validation split (MOSEI valid_id, MMIN folds,
+        DailyDialog validation/).  IEMOCAP/MELD alias val→test, so
+        validating there would select on the test set."""
+        from erc_tpu.data.registry import dataset_has_val
+
+        return dataset_has_val(str(self.params.dataset))
 
     def evaluate(self) -> Dict[str, Any]:
         """Validation stage over split='val' (reference Trainer.evaluate,
