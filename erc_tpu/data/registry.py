@@ -132,8 +132,10 @@ regist_data: Dict[str, Callable] = {
 def _synthetic_loader(name: str):
     n_cls = n_classes_of(name)
     if "daily" in name:
-        return lambda root, split="train", vocab_size=400, **kw: synthetic.synthetic_daily(
-            n_cls, split, vocab=int(vocab_size)
+        return lambda root, split="train", vocab_size=400, n_train=24, **kw: (
+            synthetic.synthetic_daily(
+                n_cls, split, vocab=int(vocab_size), n_train=int(n_train)
+            )
         )
     if "mmin" in name:
         from erc_tpu.data import mmin

@@ -74,8 +74,13 @@ def synthetic_mosei(n_classes: int, split: str = "train", seed: int = 0, **kw):
         emo = np.zeros((L, 7), dtype=int)
         emo[np.arange(L), s["label"]] = 1
         s["emo_label"] = emo
-        s["senti2_label"] = rng.integers(0, 2, L)
-        s["senti7_label"] = rng.integers(0, 7, L)
+        # sentiment labels derive from the (feature-correlated) emotion label
+        # with 10% flip noise, so sentiment heads are LEARNABLE on synthetic
+        # data — learns-on-synthetic e2e tests need a signal to find
+        flip = rng.random(L) < 0.1
+        s["senti2_label"] = np.where(flip, rng.integers(0, 2, L),
+                                     (s["label"] >= 4).astype(np.int64))
+        s["senti7_label"] = np.where(flip, rng.integers(0, 7, L), s["label"])
         s["label"] = s["senti2_label"].astype(np.int64) if n_classes == 2 else s["label"]
     return base
 
@@ -86,17 +91,27 @@ def synthetic_daily(n_classes=7, split="train", n_train=24, vocab=400,
     (data/dailydialog.py) for tests/benchmarks of the dgcnv2_daily track."""
     rng = np.random.default_rng(seed + (0 if split == "train" else 1))
     n = n_train if split == "train" else max(n_train // 3, 2)
+    # label-correlated token bands: each class draws most tokens from its own
+    # slice of the vocabulary (20% uniform noise), so the token track is
+    # learnable — random labels would make learns-on-synthetic tests vacuous
+    band = max((vocab - 2) // max(n_classes, 1), 1)
     out = []
     for _ in range(n):
         ln = int(rng.integers(min_len, max_len + 1))
+        labels = rng.integers(0, n_classes, size=ln)
+        tokens = []
+        for y in labels:
+            k = int(rng.integers(3, n_words))
+            lo = 1 + int(y) * band
+            toks = rng.integers(lo, min(lo + band, vocab), size=k)
+            noise = rng.random(k) < 0.2
+            toks = np.where(noise, rng.integers(1, vocab, size=k), toks)
+            tokens.append(toks.tolist())
         out.append(
             {
-                "tokens": [
-                    rng.integers(1, vocab, size=int(rng.integers(3, n_words))).tolist()
-                    for _ in range(ln)
-                ],
+                "tokens": tokens,
                 "speakers": rng.integers(0, 2, size=ln).tolist(),
-                "label": rng.integers(0, n_classes, size=ln).tolist(),
+                "label": labels.tolist(),
             }
         )
     return out

@@ -425,7 +425,12 @@ class DGCNV2DailyTrainer(Trainer):
         # dumps raise a helpful error when absent; only synthetic-* names
         # generate in-memory data (advisor r2 finding)
         root = p.get("data_root") or get_root(p.dataset)
-        samples = pick_datas(root, p.dataset, split=split, vocab_size=int(p.vocab_size))
+        kw = {"vocab_size": int(p.vocab_size)}
+        if p.dataset.startswith("synthetic-"):
+            # synthetic corpus size is tunable (tests/benchmarks); real
+            # readers reject unknown kwargs loudly, so only pass it here
+            kw["n_train"] = int(p.get("synthetic_n_train", 24))
+        samples = pick_datas(root, p.dataset, split=split, **kw)
         bs = int(p.train.batch_size if split == "train" else p.test.batch_size)
         return DialogueLoader(
             samples, self._daily_batcher(bs), batch_size=bs,
