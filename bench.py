@@ -27,6 +27,14 @@ import time
 # iemocap-cogmen-6 dims, COGMEN architecture).
 TORCH_CPU_BASELINE_DPS = 14.0
 
+# regression floors (dialogues/s) at the parity config (bs=32, L=96)
+# through the axon tunnel, sized to clear its measured 10-15% run-to-run
+# variance (BENCH_MATRIX.md): recent driver captures are 5.5-6.0k for
+# COGMEN, so a drop below 3 000 means a real regression (e.g. the
+# eval-overlap or prefetch path silently undone), not noise.  Checked by
+# default — perf is a tested property, not a documented one.
+THROUGHPUT_FLOORS_DPS = {"cogmen": 3000.0}
+
 # bf16 peak matmul throughput per chip (MXU), by device_kind substring
 PEAK_BF16_FLOPS = [
     ("v6", 918e12),
@@ -435,6 +443,8 @@ def main():
     ap.add_argument("--model", default="cogmen", choices=list(MODEL_REGISTRY))
     ap.add_argument("--set", dest="overrides", action="append", default=[],
                     help="model param override key=value (repeatable)")
+    ap.add_argument("--no-assert-floor", action="store_true",
+                    help="skip the parity-config throughput floor check")
     args = ap.parse_args()
 
     if args.measure_baseline:
@@ -473,6 +483,22 @@ def main():
     if r["flops_per_step"]:
         out["gflops_per_step"] = round(r["flops_per_step"] / 1e9, 2)
     print(json.dumps(out))
+
+    floor = THROUGHPUT_FLOORS_DPS.get(args.model)
+    at_parity_config = (args.batch_size, args.max_len) == (32, 96)
+    if (floor and at_parity_config and not args.no_assert_floor
+            and not args.overrides):
+        if r["train_dps"] < floor:
+            import sys
+
+            print(
+                f"THROUGHPUT REGRESSION: {args.model} train "
+                f"{r['train_dps']:.0f} dia/s < floor {floor:.0f} dia/s "
+                "(parity config; floor covers tunnel variance — "
+                "see THROUGHPUT_FLOORS_DPS)",
+                file=sys.stderr,
+            )
+            sys.exit(2)
 
 
 if __name__ == "__main__":
