@@ -160,23 +160,47 @@ def get_learning_rate(opt_state) -> Optional[float]:
 
 
 class ReduceLROnPlateau:
-    """Host-side LR controller (reference: dagerc.py:212, torch semantics)."""
+    """Host-side LR controller with torch's EXACT semantics — the reference
+    constructs ``lr_scheduler.ReduceLROnPlateau(optim, 'min')`` with torch
+    defaults (dagerc.py:212, mmin_base.py:96): relative improvement
+    threshold 1e-4, cooldown, and an eps guard on tiny LR changes.
+    Differentially tested against torch in
+    tests/test_fullrun_torch_equivalence.py."""
 
-    def __init__(self, mode="min", factor=0.1, patience=10, min_lr=0.0):
+    def __init__(self, mode="min", factor=0.1, patience=10, min_lr=0.0,
+                 threshold=1e-4, threshold_mode="rel", cooldown=0, eps=1e-8):
         self.mode, self.factor, self.patience, self.min_lr = mode, factor, patience, min_lr
+        self.threshold, self.threshold_mode = threshold, threshold_mode
+        self.cooldown, self.eps = cooldown, eps
         self.best = None
         self.bad = 0
+        self.cooldown_counter = 0
+
+    def _is_better(self, a: float) -> bool:
+        if self.best is None:
+            return True
+        if self.threshold_mode == "rel":
+            if self.mode == "min":
+                return a < self.best * (1.0 - self.threshold)
+            return a > self.best * (1.0 + self.threshold)
+        if self.mode == "min":
+            return a < self.best - self.threshold
+        return a > self.best + self.threshold
 
     def step(self, metric: float, lr: float) -> float:
-        better = self.best is None or (
-            metric < self.best if self.mode == "min" else metric > self.best
-        )
-        if better:
+        metric = float(metric)
+        if self._is_better(metric):
             self.best = metric
             self.bad = 0
         else:
             self.bad += 1
-            if self.bad > self.patience:
-                self.bad = 0
-                return max(lr * self.factor, self.min_lr)
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.bad = 0
+        if self.bad > self.patience:
+            self.cooldown_counter = self.cooldown
+            self.bad = 0
+            new_lr = max(lr * self.factor, self.min_lr)
+            if lr - new_lr > self.eps:
+                return new_lr
         return lr

@@ -31,7 +31,18 @@ def main():
     ap.add_argument("--process_id", type=int, required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--steps", type=int, default=3)
+    # mode=steps: raw fixed-key train steps (loss-equality vs 1-process).
+    # mode=full: the REAL tr.train() loop with epoch checkpoints — phase A
+    #   of the federated preemption story.
+    # mode=resume: relaunch with --resume into the SAME exproot (fresh test
+    #   dir, longer --epoch): AutoResume must restore the phase-A sibling
+    #   checkpoint on EVERY process or the collectives desync.
+    ap.add_argument("--mode", default="steps", choices=["steps", "full", "resume"])
+    ap.add_argument("--epoch", type=int, default=2)
+    ap.add_argument("--exproot", default="")
     args = ap.parse_args()
+    if args.exproot:
+        os.environ["ERC_TPU_EXPROOT"] = args.exproot
 
     os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     os.environ.setdefault("ERC_TPU_GIT_SNAPSHOT", "0")
@@ -65,8 +76,52 @@ def main():
     p.prefetch = False
     p.heartbeat = False
     p.eval_per_epoch = 0
+    if args.mode in ("full", "resume"):
+        p.epoch = args.epoch
+        p.checkpoint_per_epoch = 1
+        if args.mode == "resume":
+            p.resume = True
     p.iparams()
     tr = DAGERCTrainer(p)
+
+    if args.mode in ("full", "resume"):
+        from erc_tpu.train import callbacks as cbs
+
+        class Recorder(cbs.Callback):
+            # after AutoResume (100): eidx_at_begin captures what it restored
+            priority = 150
+
+            def __init__(self):
+                self.losses = []
+                self.eidx_at_begin = None
+
+            def train_begin(self, rec_tr):
+                self.eidx_at_begin = rec_tr.eidx
+
+            def train_step_end(self, rec_tr, bidx, mets):
+                import jax as _jax
+
+                self.losses.append(float(_jax.device_get(mets["Lall"])))
+
+        rec = Recorder().hook(tr)
+        tr.train()
+        json.dump(
+            {
+                "process_id": args.process_id,
+                "device_count": jax.device_count(),
+                "test_name": tr.exp.test_name,
+                "eidx_at_begin": rec.eidx_at_begin,
+                "final_eidx": tr.eidx,
+                "global_steps": tr.global_steps,
+                "losses": rec.losses,
+                "checkpoints": sorted(
+                    os.path.basename(c) for c in tr.saver.list_checkpoints()
+                ),
+            },
+            open(args.out, "w"),
+        )
+        return
+
     tr.initialize()
     tr._build_step_fns()
 

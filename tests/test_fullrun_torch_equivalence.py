@@ -1,0 +1,305 @@
+"""FULL-training-run torch equivalence (VERDICT r3 item 1a).
+
+The 5-step trajectory tests (test_trajectory_parity.py) pin optimizer
+semantics; these run a complete training protocol — multiple epochs over
+multiple batches in a fixed order, per-epoch eval, ReduceLROnPlateau on
+the eval loss, LR injection — on BOTH stacks (jax model vs the
+differentiable plain-torch replica of the reference semantics) and assert
+they land on the same final losses, eval NLL, predictions, and LR.  This
+is the strongest wF1-parity substitute available without the licensed
+feature dumps.
+
+Also differentially tests the host-side ReduceLROnPlateau against
+torch.optim.lr_scheduler.ReduceLROnPlateau on shared metric streams
+(the reference constructs it with torch defaults, dagerc.py:212).
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from test_grad_parity_zoo import LeafStore
+from test_model_torch_parity import t_, valid_rows
+from test_trajectory_parity import cogmen_ref_loss, dagerc_ref_loss
+
+torch.manual_seed(0)
+
+N_EPOCHS = 12
+N_BATCHES = 6  # steps = N_EPOCHS * N_BATCHES
+
+
+# ------------------------------------------------------------ learnable data
+def proto_batches(n_classes=4, dims=(7, 9, 11), lens=(5, 8, 3), n_batches=6,
+                  seed=0, noise=1.5):
+    """Batches with class-prototype features so the loss actually falls and
+    plateau decisions are robust; fixed lens → one jit compilation."""
+    from erc_tpu.data.collate import ERCBatcher
+
+    da, dt, dv = dims
+    proto_rng = np.random.default_rng(seed + 999)
+    protos = {
+        "audio": proto_rng.normal(size=(n_classes, da)).astype(np.float32),
+        "text": proto_rng.normal(size=(n_classes, dt)).astype(np.float32),
+        "visual": proto_rng.normal(size=(n_classes, dv)).astype(np.float32),
+    }
+    batcher = ERCBatcher(
+        modality="atv", n_classes=n_classes, n_speakers=2, bucket=0,
+        max_len=max(lens),
+    )
+    out = []
+    for b in range(n_batches):
+        rng = np.random.default_rng(seed + b)
+        samples = []
+        for ln in lens:
+            label = rng.integers(0, n_classes, size=ln)
+            samples.append(
+                {
+                    "audio": (protos["audio"][label]
+                              + noise * rng.normal(size=(ln, da))).astype(np.float32),
+                    "text": (protos["text"][label]
+                             + noise * rng.normal(size=(ln, dt))).astype(np.float32),
+                    "visual": (protos["visual"][label]
+                               + noise * rng.normal(size=(ln, dv))).astype(np.float32),
+                    "label": label.tolist(),
+                    "speakers": rng.integers(0, 2, size=ln).tolist(),
+                }
+            )
+        out.append((batcher(samples), [len(s["label"]) for s in samples]))
+    return out
+
+
+# ------------------------------------------------------------- run harness
+def run_full_training(model, variables, tx, train_batches, eval_batch, leaf,
+                      torch_loss_fn, torch_opt, clip_norm=None,
+                      plateau_kw=None):
+    """Run the SAME training protocol on both stacks; returns per-side
+    histories.  torch_loss_fn(leaf, batch, lens) must be differentiable."""
+    from erc_tpu.train import optim as optim_factory
+    from erc_tpu.train.trainer import masked_cross_entropy
+
+    def jax_loss(params, batch):
+        logits = model.apply({**variables, "params": params}, batch,
+                             deterministic=True)
+        return masked_cross_entropy(
+            logits, jnp.asarray(batch["label"]), jnp.asarray(batch["attention_mask"])
+        )
+
+    @jax.jit
+    def jstep(params, opt_state, batch):
+        loss, g = jax.value_and_grad(jax_loss)(params, batch)
+        updates, s2 = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), s2, loss
+
+    @jax.jit
+    def jeval(params, batch):
+        logits = model.apply({**variables, "params": params}, batch,
+                             deterministic=True)
+        nll = masked_cross_entropy(
+            logits, jnp.asarray(batch["label"]), jnp.asarray(batch["attention_mask"])
+        )
+        return nll, logits
+
+    params = variables["params"]
+    opt_state = tx.init(params)
+
+    # patience=0 + 1% threshold: fires as soon as per-epoch improvement
+    # drops below 1% — guaranteed within a short converging run, so the
+    # decision-equivalence assertion actually gets exercised
+    pk = dict(mode="min", factor=0.5, patience=0, threshold=1e-2)
+    pk.update(plateau_kw or {})
+    sched_j = optim_factory.ReduceLROnPlateau(**pk)
+    sched_t = optim_factory.ReduceLROnPlateau(**pk)  # same policy, own stream
+
+    eval_b, eval_lens = eval_batch
+    hist = {"j_loss": [], "t_loss": [], "j_eval": [], "t_eval": [],
+            "j_lr": [], "t_lr": []}
+
+    for _ in range(N_EPOCHS):
+        for batch, lens in train_batches:
+            params, opt_state, jl = jstep(params, opt_state, batch)
+            hist["j_loss"].append(float(jl))
+
+            with torch.enable_grad():
+                tl = torch_loss_fn(leaf, batch, lens)
+                torch_opt.zero_grad()
+                tl.backward()
+                if clip_norm is not None:
+                    torch.nn.utils.clip_grad_norm_(list(leaf.t.values()), clip_norm)
+                torch_opt.step()
+            hist["t_loss"].append(float(tl))
+
+        # per-epoch eval + plateau on the eval loss (reference cadence)
+        j_nll, _ = jeval(params, eval_b)
+        j_nll = float(j_nll)
+        with torch.no_grad():
+            t_nll = float(torch_loss_fn(leaf, eval_b, eval_lens))
+        hist["j_eval"].append(j_nll)
+        hist["t_eval"].append(t_nll)
+
+        lr_j = optim_factory.get_learning_rate(opt_state)
+        new_j = sched_j.step(j_nll, lr_j)
+        if new_j != lr_j:
+            opt_state = optim_factory.set_learning_rate(opt_state, new_j)
+        lr_t = torch_opt.param_groups[0]["lr"]
+        new_t = sched_t.step(t_nll, lr_t)
+        for gname in torch_opt.param_groups:
+            gname["lr"] = new_t
+        hist["j_lr"].append(float(new_j))
+        hist["t_lr"].append(float(new_t))
+
+    # final predictions on the eval batch, both sides
+    _, j_logits = jeval(params, eval_b)
+    j_pred = np.argmax(valid_rows(np.asarray(j_logits), eval_lens), -1)
+    return hist, params, j_pred
+
+
+def assert_runs_equivalent(hist, j_pred, t_pred, loss_rtol=0.05,
+                           agree_floor=0.9):
+    j, t = np.asarray(hist["j_loss"]), np.asarray(hist["t_loss"])
+    # early steps are near-exact; end-of-run within loss_rtol
+    np.testing.assert_allclose(j[:3], t[:3], rtol=1e-3)
+    np.testing.assert_allclose(j[-3:].mean(), t[-3:].mean(), rtol=loss_rtol)
+    # training actually progressed (the test has teeth)
+    assert j[-3:].mean() < 0.7 * j[:3].mean(), (j[:3], j[-3:])
+    np.testing.assert_allclose(hist["j_eval"][-1], hist["t_eval"][-1],
+                               rtol=loss_rtol)
+    # plateau decisions matched step for step (jax lr is f32, torch f64)
+    np.testing.assert_allclose(hist["j_lr"], hist["t_lr"], rtol=1e-5,
+                               err_msg="plateau decisions diverged")
+    assert hist["j_lr"][-1] < 0.9 * hist["j_lr"][0], (
+        "plateau never fired; decision equivalence untested", hist["j_lr"]
+    )
+    agree = float(np.mean(j_pred == t_pred))
+    assert agree >= agree_floor, f"prediction agreement {agree}"
+
+
+# ------------------------------------------------------------------- tests
+@pytest.mark.slow
+def test_plateau_matches_torch_scheduler():
+    """Host-side ReduceLROnPlateau == torch's on shared metric streams,
+    including threshold-rel semantics, cooldown, and the eps guard."""
+    from erc_tpu.train import optim as optim_factory
+
+    rng = np.random.default_rng(0)
+    for cfg in (dict(), dict(factor=0.5, patience=2),
+                dict(patience=0, cooldown=2), dict(threshold=1e-2),
+                dict(min_lr=1e-4, factor=0.01)):
+        metrics = np.concatenate([
+            np.linspace(2.0, 0.6, 8),           # clean descent
+            0.6 + 0.001 * rng.random(10),        # hovering (sub-threshold)
+            np.linspace(0.6, 0.59, 5),           # tiny improvements
+        ])
+        mine = optim_factory.ReduceLROnPlateau(mode="min", **cfg)
+        p = torch.nn.Parameter(torch.zeros(1))
+        topt = torch.optim.SGD([p], lr=0.1)
+        tsch = torch.optim.lr_scheduler.ReduceLROnPlateau(topt, "min", **cfg)
+        lr = 0.1
+        for m in metrics:
+            lr = mine.step(float(m), lr)
+            tsch.step(float(m))
+            assert lr == pytest.approx(topt.param_groups[0]["lr"], abs=0), (
+                cfg, m, lr, topt.param_groups[0]["lr"])
+
+
+@pytest.mark.slow
+def test_cogmen_fullrun_equivalence():
+    """72 Adam steps + per-epoch eval + plateau: the jax COGMEN stack and
+    the torch replica of the reference semantics land on the same losses,
+    eval NLL, LR schedule, and predictions."""
+    from erc_tpu.models.cogmen import COGMENModule
+    from erc_tpu.train import optim as optim_factory
+
+    n_classes, S, wp, wf = 4, 2, 5, 5
+    data = proto_batches(n_classes=n_classes, n_batches=N_BATCHES + 1)
+    train, eval_batch = data[:-1], data[-1]
+    Din = train[0][0]["input_tensor"].shape[-1]
+    model = COGMENModule(
+        input_size=Din, hidden_size=16, num_head=17, n_speakers=S,
+        n_classes=n_classes, wp=wp, wf=wf, graph_impl="dense",
+        encoder_mode="reference",
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        train[0][0], deterministic=True,
+    )
+    cfg = optim_factory.create_optim("Adam", lr=1e-3, weight_decay=1e-8)
+    tx = optim_factory.build_optim(cfg)
+    leaf = LeafStore(jax.tree_util.tree_map(np.asarray, variables["params"]))
+    with torch.enable_grad():  # materialize replica leaves for the optimizer
+        cogmen_ref_loss(leaf, train[0][0], train[0][1], S, wp, wf)
+    topt = torch.optim.Adam(list(leaf.t.values()), lr=1e-3, weight_decay=1e-8)
+
+    loss_fn = lambda lf, b, lens: cogmen_ref_loss(lf, b, lens, S, wp, wf)
+    hist, params, j_pred = run_full_training(
+        model, variables, tx, train, eval_batch, leaf, loss_fn, topt
+    )
+    with torch.no_grad():
+        # replica predictions: recompute valid-row logits leaf-wise is
+        # internal to the loss; compare via the jax stack at torch's params
+        t_params = _leafstore_to_tree(leaf, variables["params"])
+        t_logits = model.apply({**variables, "params": t_params},
+                               eval_batch[0], deterministic=True)
+    t_pred = np.argmax(valid_rows(np.asarray(t_logits), eval_batch[1]), -1)
+    assert_runs_equivalent(hist, j_pred, t_pred)
+
+
+@pytest.mark.slow
+def test_dagerc_fullrun_equivalence():
+    """72 AdamW+clip(5.0) steps + eval + plateau for DAG-ERC — the
+    clip-before-step ordering and decoupled decay hold over a full run."""
+    from erc_tpu.models.dagerc import DAGERCModule
+    from erc_tpu.train import optim as optim_factory
+
+    n_classes, layers, D, windowp = 4, 2, 12, 1
+    data = proto_batches(n_classes=n_classes, n_batches=N_BATCHES + 1, seed=3,
+                         noise=2.0)
+    train, eval_batch = data[:-1], data[-1]
+    Din = train[0][0]["input_tensor"].shape[-1]
+    model = DAGERCModule(
+        emb_dim=Din, n_classes=n_classes, gnn_layers=layers, hidden_dim=D,
+        windowp=windowp, drop_rate=0.0,
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        train[0][0], deterministic=True,
+    )
+    cfg = optim_factory.create_optim("AdamW", lr=1e-3, weight_decay=1e-2)
+    tx = optim_factory.build_optim(cfg, grad_clip_norm=5.0)
+    leaf = LeafStore(jax.tree_util.tree_map(np.asarray, variables["params"]))
+    with torch.enable_grad():
+        dagerc_ref_loss(leaf, train[0][0], train[0][1], layers, D, windowp)
+    topt = torch.optim.AdamW(list(leaf.t.values()), lr=1e-3, weight_decay=1e-2)
+
+    loss_fn = lambda lf, b, lens: dagerc_ref_loss(lf, b, lens, layers, D, windowp)
+    hist, params, j_pred = run_full_training(
+        model, variables, tx, train, eval_batch, leaf, loss_fn, topt,
+        clip_norm=5.0,
+    )
+    with torch.no_grad():
+        t_params = _leafstore_to_tree(leaf, variables["params"])
+        t_logits = model.apply({**variables, "params": t_params},
+                               eval_batch[0], deterministic=True)
+    t_pred = np.argmax(valid_rows(np.asarray(t_logits), eval_batch[1]), -1)
+    assert_runs_equivalent(hist, j_pred, t_pred)
+
+
+def _leafstore_to_tree(leaf, template):
+    """Rebuild a flax param tree from the torch replica's trained leaves
+    (leaves the torch replica never materialized keep the jax value —
+    none such exist for these models; LeafStore.compare guards that in the
+    grad-parity tests)."""
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        key = "/".join(path)
+        if key in leaf.t:
+            return jnp.asarray(leaf.t[key].detach().numpy())
+        return jnp.asarray(node)
+
+    return walk(template, ())

@@ -37,24 +37,30 @@ def _free_port() -> int:
     return port
 
 
-def _launch(nproc: int, tmp, steps: int = 3, timeout: int = 600):
+def _launch(nproc: int, tmp, steps: int = 3, timeout: int = 600, mode: str = "steps",
+            epoch: int = 2, exproot: str = "", tag: str = ""):
     port = _free_port()
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # worker forces cpu via jax.config
     procs, outs = [], []
     for pid in range(nproc):
-        out = str(tmp / f"mp_{nproc}_{pid}.json")
+        out = str(tmp / f"mp_{tag}{nproc}_{pid}.json")
         outs.append(out)
+        cmd = [
+            sys.executable, WORKER,
+            "--coordinator", f"localhost:{port}",
+            "--num_processes", str(nproc),
+            "--process_id", str(pid),
+            "--out", out,
+            "--steps", str(steps),
+            "--mode", mode,
+            "--epoch", str(epoch),
+        ]
+        if exproot:
+            cmd += ["--exproot", exproot]
         procs.append(
             subprocess.Popen(
-                [
-                    sys.executable, WORKER,
-                    "--coordinator", f"localhost:{port}",
-                    "--num_processes", str(nproc),
-                    "--process_id", str(pid),
-                    "--out", out,
-                    "--steps", str(steps),
-                ],
+                cmd,
                 env=env,
                 cwd=REPO,
                 stdout=subprocess.PIPE,
@@ -103,3 +109,71 @@ def test_two_process_train_matches_single(tmp_path):
     assert r0["test_f1"] == pytest.approx(single["test_f1"], abs=1e-6)
     assert r0["test_Lall"] == pytest.approx(r1["test_Lall"], abs=0)
     assert r0["test_Lall"] == pytest.approx(single["test_Lall"], rel=2e-5)
+
+
+@pytest.mark.multiprocess
+def test_four_process_train_matches_single(tmp_path):
+    """N=4 federation (VERDICT r3 item 6): four strided loader slices
+    reassemble the global batch and the loss trajectory still equals the
+    single-process control."""
+    single = _launch(1, tmp_path, tag="s4_")[0]
+    rs = _launch(4, tmp_path, tag="q_")
+
+    for r in rs:
+        assert r["device_count"] == 4 and r["local_device_count"] == 1
+        assert r["test_name"] == rs[0]["test_name"]
+        np.testing.assert_allclose(r["losses"], rs[0]["losses"], rtol=1e-6)
+        assert r["n_test_rows"] == single["n_test_rows"]
+        assert r["test_f1"] == pytest.approx(rs[0]["test_f1"], abs=0)
+
+    all_labels = sorted(sum((r["first_batch_labels"] for r in rs), []))
+    assert all_labels == sorted(single["first_batch_labels"])
+    assert all(len(r["first_batch_labels"]) > 0 for r in rs)
+
+    np.testing.assert_allclose(rs[0]["losses"], single["losses"],
+                               rtol=2e-5, atol=2e-6)
+    assert rs[0]["test_f1"] == pytest.approx(single["test_f1"], abs=1e-6)
+
+
+@pytest.mark.multiprocess
+def test_federated_preemption_resume(tmp_path):
+    """Preemption-resume UNDER multi-process (VERDICT r3 item 6 /
+    ADVICE r3 sibling-desync hazard): a 2-process run trains 2 epochs with
+    epoch checkpoints, is killed, and is relaunched with --resume and a
+    longer --epoch into a FRESH test dir.  Every process must restore the
+    same sibling checkpoint (same eidx) — a split-brain resume (one
+    process resuming, the other starting at epoch 0) would desync the
+    collectives — and the continued trajectory must equal a 1-process
+    straight-through control."""
+    exproot = str(tmp_path / "shared_exp")
+
+    # control: 3 epochs straight through, single process
+    ctl = _launch(1, tmp_path, mode="full", epoch=3,
+                  exproot=str(tmp_path / "ctl_exp"), tag="ctl_")[0]
+    assert ctl["eidx_at_begin"] == 0 and len(ctl["checkpoints"]) > 0
+
+    # phase A: 2-process run, 2 epochs, epoch checkpoints (process 0 writes)
+    ph_a = _launch(2, tmp_path, mode="full", epoch=2, exproot=exproot, tag="a_")
+    assert ph_a[0]["test_name"] == ph_a[1]["test_name"]
+    assert ph_a[0]["checkpoints"], "phase A wrote no checkpoints"
+    n_steps_per_epoch = len(ctl["losses"]) // 3
+    np.testing.assert_allclose(ph_a[0]["losses"], ph_a[1]["losses"], rtol=1e-6)
+    np.testing.assert_allclose(ph_a[0]["losses"],
+                               ctl["losses"][: 2 * n_steps_per_epoch],
+                               rtol=2e-5, atol=2e-6)
+
+    # phase B: relaunch with --resume and --epoch=3 (fresh test dir, same
+    # experiment root): AutoResume sibling fallback must fire on BOTH
+    ph_b = _launch(2, tmp_path, mode="resume", epoch=3, exproot=exproot, tag="b_")
+    assert ph_b[0]["test_name"] == ph_b[1]["test_name"]
+    assert ph_b[0]["test_name"] != ph_a[0]["test_name"]  # fresh test dir
+    for r in ph_b:
+        # both processes restored the epoch-2 boundary — no split brain
+        assert r["eidx_at_begin"] == 2, r
+        assert len(r["losses"]) == n_steps_per_epoch
+    np.testing.assert_allclose(ph_b[0]["losses"], ph_b[1]["losses"], rtol=1e-6)
+    # continued trajectory equals the straight-through control's 3rd epoch
+    np.testing.assert_allclose(ph_b[0]["losses"],
+                               ctl["losses"][2 * n_steps_per_epoch:],
+                               rtol=2e-5, atol=2e-6)
+    assert ph_b[0]["global_steps"] == ctl["global_steps"]
