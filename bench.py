@@ -170,8 +170,11 @@ def bench_tpu(batch_size=32, max_len=96, steps=32, steps_per_call=8,
     for kv in overrides:  # --set model params, e.g. dag_chunk=16
         k, v = kv.split("=", 1)
         cur = p.get(k)
-        if isinstance(cur, bool) or v in ("true", "false", "True", "False"):
+        if v in ("true", "false", "True", "False"):
             p[k] = v.lower() == "true"
+        elif isinstance(cur, bool):
+            # bool-defaulted knobs may take mode strings too (gcn_remat=dots)
+            p[k] = v
         elif isinstance(cur, int):
             p[k] = int(v)
         elif isinstance(cur, float):

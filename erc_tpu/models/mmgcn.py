@@ -82,7 +82,7 @@ class MMGCNModule(nn.Module):
     drop_rate: float = 0.4
     use_speaker: bool = True
     adj_impl: str = "structured"
-    gcn_remat: bool = False
+    gcn_remat: object = False  # False | 'full' | 'dots'
     lstm_mode: str = "packed"  # 'unpacked' = reference-exact padded biLSTM
 
     @nn.compact
@@ -181,7 +181,7 @@ class MMGCNTrainer(Trainer):
             gcn_layers=params.gcn_layers,
             drop_rate=params.drop_rate,
             adj_impl=params.adj_impl,
-            gcn_remat=bool(params.get("gcn_remat", False)),
+            gcn_remat=params.get("gcn_remat", False),
             lstm_mode=params.get("lstm_mode", "packed"),
         )
         self.tx = optim_factory.build_optim(params.optim)
