@@ -303,3 +303,119 @@ def _leafstore_to_tree(leaf, template):
         return jnp.asarray(node)
 
     return walk(template, ())
+
+
+# ----------------------------------------------------------- MMGCN replica
+def mmgcn_ref_loss_factory(leaf, n_dim=200, nh=24, nlayers=6):
+    """Differentiable torch replica of MMGCN (linear encoders + 2-layer
+    biLSTM + speaker embed + feature-dependent big adjacency + GCNII stack;
+    mmgcn_models.py:8-39,344-394,582-646), packaged as a per-batch loss —
+    the same math as test_grad_parity_zoo.test_mmgcn_grad_parity.  The
+    torch LSTM's Parameters are SHARED with the LeafStore so optimizer
+    steps land on the same tensors both stacks read."""
+    from test_grad_parity_zoo import share_rnn
+
+    lstm = torch.nn.LSTM(n_dim, 100, num_layers=2, bidirectional=True,
+                         batch_first=True, dropout=0.0)
+    share_rnn(lstm, leaf, ("lstm_l",), layers=2)
+
+    def loss_fn(leaf, batch, lens):
+        a = t_(batch["audio_feature"]) @ leaf("linear_a", "kernel") + leaf("linear_a", "bias")
+        v = t_(batch["visual_feature"]) @ leaf("linear_v", "kernel") + leaf("linear_v", "bias")
+        l0 = t_(batch["text_feature"]) @ leaf("linear_l", "kernel") + leaf("linear_l", "bias")
+        l = lstm(l0)[0]  # unpacked; equal lengths only
+        spk = torch.from_numpy(np.asarray(batch["speaker_ids"])).long()
+        l = l + leaf("speaker_embeddings", "embedding")[spk]
+
+        fa = torch.cat([a[i, :ln] for i, ln in enumerate(lens)], 0)
+        fv = torch.cat([v[i, :ln] for i, ln in enumerate(lens)], 0)
+        fl = torch.cat([l[i, :ln] for i, ln in enumerate(lens)], 0)
+        N = fa.shape[0]
+        feats = [fa, fv, fl]
+        blocks = torch.zeros(3 * N, 3 * N)
+        start = 0
+        for ln in lens:
+            for m in range(3):
+                for n2 in range(3):
+                    ms, ns = start + N * m, start + N * n2
+                    if m == n2:
+                        x = feats[m][start : start + ln]
+                        xn = x / x.norm(dim=1, keepdim=True)
+                        cs = (xn @ xn.T).clamp(-0.99999, 0.99999) * 0.99999
+                        blocks = blocks.index_put(
+                            (torch.arange(ms, ms + ln)[:, None],
+                             torch.arange(ns, ns + ln)[None, :]),
+                            1 - torch.acos(cs) / np.pi,
+                        )
+                    else:
+                        x1 = feats[m][start : start + ln]
+                        x2 = feats[n2][start : start + ln]
+                        cs = ((x1 / x1.norm(dim=1, keepdim=True))
+                              * (x2 / x2.norm(dim=1, keepdim=True))).sum(1) * 0.99999
+                        sim = 1 - torch.acos(cs) / np.pi
+                        blocks = blocks.index_put(
+                            (torch.arange(ms, ms + ln), torch.arange(ns, ns + ln)), sim
+                        )
+            start += ln
+        d = blocks.sum(1)
+        dinv = torch.where(d > 0, d.pow(-0.5), torch.zeros_like(d))
+        adj = dinv[:, None] * blocks * dinv[None, :]
+
+        x = torch.cat([fa, fv, fl], 0)
+        h0 = torch.relu(x @ leaf("fc0", "kernel") + leaf("fc0", "bias"))
+        Ws = leaf("gcnii", "convs")
+        h = h0
+        for i in range(nlayers):
+            theta = np.log(0.5 / (i + 1) + 1)
+            hi = adj @ h
+            support = torch.cat([hi, h0], 1)
+            r = 0.9 * hi + 0.1 * h0
+            h = torch.relu(theta * (support @ Ws[i]) + (1 - theta) * r)
+        h = torch.cat([x, h], -1)
+        feat = torch.relu(torch.cat([h[:N], h[N : 2 * N], h[2 * N :]], -1))
+        logits = feat @ leaf("smax_fc", "kernel") + leaf("smax_fc", "bias")
+        labels = valid_rows(np.asarray(batch["label"])[..., None], lens)[:, 0]
+        return F.cross_entropy(logits, torch.from_numpy(labels).long())
+
+    return loss_fn
+
+
+@pytest.mark.slow
+def test_mmgcn_fullrun_equivalence():
+    """72 Adam steps + eval + plateau for MMGCN — biLSTM encoders, the
+    feature-dependent arccos adjacency, and the GCNII layer restructure
+    (split support matmul) hold over a full training run."""
+    from erc_tpu.models.mmgcn import MMGCNModule
+    from erc_tpu.train import optim as optim_factory
+
+    n_classes, nlayers, nh, n_dim = 4, 6, 24, 200
+    data = proto_batches(n_classes=n_classes, lens=(6, 6, 6),
+                         n_batches=N_BATCHES + 1, seed=11, noise=2.0)
+    train, eval_batch = data[:-1], data[-1]
+    model = MMGCNModule(
+        n_speakers=2, n_classes=n_classes, modals="atv", n_dim=n_dim,
+        graph_hidden_size=nh, gcn_layers=nlayers, adj_impl="dense",
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        train[0][0], deterministic=True,
+    )
+    # reference mmgcn optimizer: Adam lr 3e-4, wd 3e-5 (mmgcn.py reimplement)
+    cfg = optim_factory.create_optim("Adam", lr=3e-4, weight_decay=3e-5)
+    tx = optim_factory.build_optim(cfg)
+    leaf = LeafStore(jax.tree_util.tree_map(np.asarray, variables["params"]))
+    loss_fn = mmgcn_ref_loss_factory(leaf, n_dim=n_dim, nh=nh, nlayers=nlayers)
+    with torch.enable_grad():  # materialize leaves
+        loss_fn(leaf, train[0][0], train[0][1])
+    topt = torch.optim.Adam(list(leaf.t.values()), lr=3e-4, weight_decay=3e-5)
+
+    hist, params, j_pred = run_full_training(
+        model, variables, tx, train, eval_batch, leaf, loss_fn, topt,
+        plateau_kw=dict(threshold=2e-2),  # eval improvement floors at ~1.3%/ep
+    )
+    with torch.no_grad():
+        t_params = _leafstore_to_tree(leaf, variables["params"])
+        t_logits = model.apply({**variables, "params": t_params},
+                               eval_batch[0], deterministic=True)
+    t_pred = np.argmax(valid_rows(np.asarray(t_logits), eval_batch[1]), -1)
+    assert_runs_equivalent(hist, j_pred, t_pred)
