@@ -45,7 +45,11 @@ class MMGCNParams(MMBaseParams):
         self.gcn_layers = 64
         self.drop_rate = 0.4
         self.adj_impl = self.choice("structured", "dense")
-        self.gcn_remat = False  # chunked remat measured slower on v5e
+        # 'full' chunked remat became the WINNER in round 4 (1 856 vs
+        # 1 684 dia/s f32 at B=32): once dropout moved to the rbg PRNG and
+        # the support matmul split landed, the forward recompute is cheaper
+        # than streaming the per-layer residuals the no-remat form saves
+        self.gcn_remat = self.choice("full", "off", "dots")
         # (1 115 vs 1 446 dia/s — ops/gnn.GCNIIStack note); the scan
         # chunking itself is always on
         # 'packed' (default) masks the text biLSTM like torch packed
@@ -82,7 +86,7 @@ class MMGCNModule(nn.Module):
     drop_rate: float = 0.4
     use_speaker: bool = True
     adj_impl: str = "structured"
-    gcn_remat: object = False  # False | 'full' | 'dots'
+    gcn_remat: object = 'full'  # 'off'/False | 'full' | 'dots'
     lstm_mode: str = "packed"  # 'unpacked' = reference-exact padded biLSTM
 
     @nn.compact
@@ -181,7 +185,7 @@ class MMGCNTrainer(Trainer):
             gcn_layers=params.gcn_layers,
             drop_rate=params.drop_rate,
             adj_impl=params.adj_impl,
-            gcn_remat=params.get("gcn_remat", False),
+            gcn_remat=params.get("gcn_remat", "full"),
             lstm_mode=params.get("lstm_mode", "packed"),
         )
         self.tx = optim_factory.build_optim(params.optim)

@@ -38,11 +38,14 @@ def _chunk_of(n: int, want: int) -> int:
 def _maybe_remat(body, mode):
     """Wrap a scan trip body in jax.checkpoint.
 
-    mode False → no remat; True/'full' → full chunked remat (measured
-    slower on v5e, kept selectable); 'dots' → save matmul outputs,
-    recompute elementwise ops INCLUDING the rbg dropout masks — trades the
-    118 MB/step of saved pred masks for cheap Philox recompute."""
-    if not mode:
+    mode False/'off' → no remat; True/'full' → full chunked remat;
+    'dots' → dots_saveable policy (save matmul outputs, recompute the
+    elementwise chain).  Measured v5e B=32/L=96 (round 4, AFTER the rbg
+    dropout + support-split changes): full 1 856 > off 1 684 > dots 1 110
+    dia/s — recompute is now cheaper than streaming per-layer residuals,
+    so 'full' is the MMGCN default; 'dots' re-reads its saved dots during
+    the recompute and loses both ways."""
+    if not mode or mode == "off":
         return body
     if mode in (True, "full"):
         return jax.checkpoint(body)
