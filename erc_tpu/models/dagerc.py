@@ -55,7 +55,12 @@ class DAGERCParams(MMBaseParams):
         # measured in BENCH_MATRIX.md); --dag_impl=pallas selects it
         # explicitly — see DAGStack docstring
         self.dag_chunk = 16
-        self.dag_remat = False
+        # block-body remat ON by default (round 4): recomputing the
+        # unrolled within-block tail in the backward beats streaming its
+        # per-position residual saves — measured 2 599 vs 1 372 dia/s at
+        # B=32 on v5e (the same traffic-vs-recompute flip as MMGCN's
+        # gcn_remat; the tail is elementwise+small-matmul, cheap to redo)
+        self.dag_remat = True
         self.dag_impl = self.choice("auto", "pallas", "xla")
 
     def iparams(self):
@@ -452,7 +457,7 @@ class DAGERCTrainer(Trainer):
             windowp=int(params.windowp),
             drop_rate=float(params.dropout),
             chunk=int(params.get("dag_chunk", 16)),
-            remat=bool(params.get("dag_remat", False)),
+            remat=bool(params.get("dag_remat", True)),
             impl=str(params.get("dag_impl", "auto")),
         )
         # grad clip 5.0 (dagerc.py:230)
