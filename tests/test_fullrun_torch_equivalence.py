@@ -76,18 +76,29 @@ def proto_batches(n_classes=4, dims=(7, 9, 11), lens=(5, 8, 3), n_batches=6,
 # ------------------------------------------------------------- run harness
 def run_full_training(model, variables, tx, train_batches, eval_batch, leaf,
                       torch_loss_fn, torch_opt, clip_norm=None,
-                      plateau_kw=None):
+                      plateau_kw=None, jax_loss_fn=None, pred_logits_fn=None,
+                      n_epochs=N_EPOCHS):
     """Run the SAME training protocol on both stacks; returns per-side
-    histories.  torch_loss_fn(leaf, batch, lens) must be differentiable."""
+    histories.  torch_loss_fn(leaf, batch, lens) must be differentiable.
+    jax_loss_fn(params, batch) overrides the default masked-CE loss for
+    multi-output/multitask models (CIM); pred_logits_fn(params, batch)
+    supplies the logits used for the final prediction-agreement check."""
     from erc_tpu.train import optim as optim_factory
     from erc_tpu.train.trainer import masked_cross_entropy
 
-    def jax_loss(params, batch):
-        logits = model.apply({**variables, "params": params}, batch,
-                             deterministic=True)
-        return masked_cross_entropy(
-            logits, jnp.asarray(batch["label"]), jnp.asarray(batch["attention_mask"])
-        )
+    if jax_loss_fn is None:
+        def jax_loss_fn(params, batch):
+            logits = model.apply({**variables, "params": params}, batch,
+                                 deterministic=True)
+            return masked_cross_entropy(
+                logits, jnp.asarray(batch["label"]),
+                jnp.asarray(batch["attention_mask"])
+            )
+    if pred_logits_fn is None:
+        def pred_logits_fn(params, batch):
+            return model.apply({**variables, "params": params}, batch,
+                               deterministic=True)
+    jax_loss = jax_loss_fn
 
     @jax.jit
     def jstep(params, opt_state, batch):
@@ -97,12 +108,7 @@ def run_full_training(model, variables, tx, train_batches, eval_batch, leaf,
 
     @jax.jit
     def jeval(params, batch):
-        logits = model.apply({**variables, "params": params}, batch,
-                             deterministic=True)
-        nll = masked_cross_entropy(
-            logits, jnp.asarray(batch["label"]), jnp.asarray(batch["attention_mask"])
-        )
-        return nll, logits
+        return jax_loss(params, batch), pred_logits_fn(params, batch)
 
     params = variables["params"]
     opt_state = tx.init(params)
@@ -119,7 +125,7 @@ def run_full_training(model, variables, tx, train_batches, eval_batch, leaf,
     hist = {"j_loss": [], "t_loss": [], "j_eval": [], "t_eval": [],
             "j_lr": [], "t_lr": []}
 
-    for _ in range(N_EPOCHS):
+    for _ in range(n_epochs):
         for batch, lens in train_batches:
             params, opt_state, jl = jstep(params, opt_state, batch)
             hist["j_loss"].append(float(jl))
@@ -418,4 +424,124 @@ def test_mmgcn_fullrun_equivalence():
         t_logits = model.apply({**variables, "params": t_params},
                                eval_batch[0], deterministic=True)
     t_pred = np.argmax(valid_rows(np.asarray(t_logits), eval_batch[1]), -1)
+    assert_runs_equivalent(hist, j_pred, t_pred)
+
+
+# ------------------------------------------------------------- CIM replica
+def cim_ref_loss_factory(leaf, dims, H, emo_of_label):
+    """Differentiable torch replica of CIM (packed biGRUs + relu adapters +
+    six pairwise −10000-masked attention products + dual CE/BCE heads;
+    cim_models.py:64-229), packaged per-batch — the same math as
+    test_grad_parity_zoo.test_cim_grad_parity.  GRU Parameters are SHARED
+    with the LeafStore so optimizer steps land on the tensors both stacks
+    read.  The multitask BCE target is emo_of_label[label]."""
+    from test_grad_parity_zoo import share_rnn
+
+    da, dt, dv = dims
+    grus = {}
+    for m, din in (("a", da), ("v", dv), ("t", dt)):
+        grus[m] = torch.nn.GRU(din, H, num_layers=1, bidirectional=True,
+                               batch_first=True)
+        share_rnn(grus[m], leaf, (f"rnn_{m}",), layers=1)
+
+    def loss_fn(leaf, batch, lens):
+        mask = np.asarray(batch["attention_mask"])
+        dense = {}
+        for m, key in (("a", "audio_feature"), ("v", "visual_feature"),
+                       ("t", "text_feature")):
+            x = t_(batch[key])
+            packed = torch.nn.utils.rnn.pack_padded_sequence(
+                x, torch.tensor(lens), batch_first=True, enforce_sorted=False
+            )
+            h, _ = torch.nn.utils.rnn.pad_packed_sequence(
+                grus[m](packed)[0], batch_first=True, total_length=x.shape[1]
+            )
+            dense[m] = torch.relu(
+                h @ leaf(f"adapter_{m}", "kernel") + leaf(f"adapter_{m}", "bias")
+            )
+
+        tm = t_(mask.astype(np.float32))
+
+        def att(x, y):
+            s = x @ y.transpose(-1, -2) + (1.0 - tm[:, None, :]) * -10000.0
+            return torch.softmax(s, -1) @ y * x
+
+        a, v, t = dense["a"], dense["v"], dense["t"]
+        merged = torch.cat(
+            [att(a, v), att(v, a), att(t, a), att(t, v), att(a, t), att(v, t),
+             a, v, t], -1
+        )
+        ref2 = merged @ leaf("cls2", "kernel") + leaf("cls2", "bias")
+        ref7 = merged @ leaf("cls7", "kernel") + leaf("cls7", "bias")
+
+        labels = valid_rows(np.asarray(batch["label"])[..., None], lens)[:, 0]
+        r2 = torch.cat([ref2[i, :ln] for i, ln in enumerate(lens)], 0)
+        r7 = torch.cat([ref7[i, :ln] for i, ln in enumerate(lens)], 0)
+        e7 = t_(emo_of_label[labels].astype(np.float32))
+        return F.cross_entropy(r2, torch.from_numpy(labels).long()) + \
+            F.binary_cross_entropy_with_logits(r7, e7)
+
+    return loss_fn
+
+
+@pytest.mark.slow
+def test_cim_fullrun_equivalence():
+    """72 Adam steps + eval + plateau for CIM — the packed-GRU encoders,
+    six pairwise attention products, and the CE+BCE multitask loss (both
+    heads live) hold over a full training run (cim.py:43 Adam lr=1e-3)."""
+    from erc_tpu.models.cim import CIMModule, masked_bce_with_logits
+    from erc_tpu.train import optim as optim_factory
+    from erc_tpu.train.trainer import masked_cross_entropy
+
+    n_classes, H, dims = 4, 12, (7, 9, 11)
+    data = proto_batches(n_classes=n_classes, dims=dims,
+                         n_batches=N_BATCHES + 1, seed=7, noise=1.5)
+    train, eval_batch = data[:-1], data[-1]
+    # deterministic class→7-bit multilabel target so the BCE head learns too
+    emo_of_label = (np.random.default_rng(42).random((n_classes, 7)) < 0.5
+                    ).astype(np.int32)
+
+    da, dt, dv = dims
+    model = CIMModule(text_dim=dt, audio_dim=da, visual_dim=dv,
+                      hidden_size=H, n_classes=n_classes)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        train[0][0], deterministic=True,
+    )
+
+    def jax_loss_fn(params, batch):
+        lg2, lg7 = model.apply({**variables, "params": params}, batch,
+                               deterministic=True)
+        mask = jnp.asarray(batch["attention_mask"])
+        labels = jnp.asarray(batch["label"])
+        emo = jnp.asarray(emo_of_label)[jnp.clip(labels, 0, n_classes - 1)]
+        return masked_cross_entropy(lg2, labels, mask) + \
+            masked_bce_with_logits(lg7, emo.astype(jnp.float32), mask)
+
+    def pred_logits_fn(params, batch):
+        lg2, _ = model.apply({**variables, "params": params}, batch,
+                             deterministic=True)
+        return lg2
+
+    cfg = optim_factory.create_optim("Adam", lr=1e-3)
+    tx = optim_factory.build_optim(cfg)
+    leaf = LeafStore(jax.tree_util.tree_map(np.asarray, variables["params"]))
+    loss_fn = cim_ref_loss_factory(leaf, dims, H, emo_of_label)
+    with torch.enable_grad():  # materialize replica leaves
+        loss_fn(leaf, train[0][0], train[0][1])
+    topt = torch.optim.Adam(list(leaf.t.values()), lr=1e-3)
+
+    hist, params, j_pred = run_full_training(
+        model, variables, tx, train, eval_batch, leaf, loss_fn, topt,
+        jax_loss_fn=jax_loss_fn, pred_logits_fn=pred_logits_fn,
+        # CIM converges slower than the ERC GNNs: per-epoch improvement only
+        # falls under 5% around epoch 15, so run 20 epochs to exercise the
+        # plateau decision on both stacks
+        plateau_kw=dict(threshold=5e-2), n_epochs=20,
+    )
+    with torch.no_grad():
+        t_params = _leafstore_to_tree(leaf, variables["params"])
+        t_lg2, _ = model.apply({**variables, "params": t_params},
+                               eval_batch[0], deterministic=True)
+    t_pred = np.argmax(valid_rows(np.asarray(t_lg2), eval_batch[1]), -1)
     assert_runs_equivalent(hist, j_pred, t_pred)
