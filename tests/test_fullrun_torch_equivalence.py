@@ -545,3 +545,133 @@ def test_cim_fullrun_equivalence():
                                eval_batch[0], deterministic=True)
     t_pred = np.argmax(valid_rows(np.asarray(t_lg2), eval_batch[1]), -1)
     assert_runs_equivalent(hist, j_pred, t_pred)
+
+
+# ------------------------------------------------------------ DGCN replica
+def dgcn_ref_loss_factory(leaf, Din, hidden, S, wp, wf):
+    """Differentiable torch replica of DialogueGCN v1 (packed 2-layer
+    biLSTM, windowed EdgeAtt softmax, basis RGCN with edge_norm, GraphConv,
+    2-layer classifier; dgcn_models.py:48-170 + PyG-1.4.2 semantics),
+    packaged per-batch — the same math as
+    test_model_torch_parity.test_dgcn_grad_parity but with the per-edge
+    message loop batched through index_add.  LSTM Parameters are SHARED
+    with the LeafStore."""
+    from test_grad_parity_zoo import share_rnn
+    from test_model_torch_parity import edge_perms, rel_id
+
+    lstm = torch.nn.LSTM(Din, hidden // 2, num_layers=2, bidirectional=True,
+                         batch_first=True, dropout=0.0)
+    share_rnn(lstm, leaf, ("rnn",), layers=2)
+
+    def loss_fn(leaf, batch, lens):
+        packed = torch.nn.utils.rnn.pack_padded_sequence(
+            t_(batch["input_tensor"]), torch.tensor(lens), batch_first=True,
+            enforce_sorted=False,
+        )
+        feats_pad, _ = torch.nn.utils.rnn.pad_packed_sequence(
+            lstm(packed)[0], batch_first=True,
+            total_length=batch["input_tensor"].shape[1],
+        )
+        feats = torch.cat([feats_pad[i, :l] for i, l in enumerate(lens)], 0)
+
+        W_att = leaf("edge_att", "weight")
+        alphas = []
+        for d, ln in enumerate(lens):
+            xd = feats_pad[d]
+            wx = xd @ W_att.T
+            rows = []
+            for j in range(ln):
+                s0, e0 = max(0, j - wp), min(ln - 1, j + wf)
+                score = wx[s0 : e0 + 1] @ xd[j]
+                probs = torch.softmax(score, 0)
+                rows.append(torch.cat(
+                    [torch.zeros(s0), probs, torch.zeros(ln - e0 - 1)]))
+            alphas.append(torch.stack(rows))
+
+        edges_u, edges_v, rels, norm_vals = [], [], [], []
+        off = 0
+        for d, ln in enumerate(lens):
+            spk = np.asarray(batch["speaker_ids"])[d]
+            for u, v in edge_perms(ln, wp, wf):
+                edges_u.append(u + off)
+                edges_v.append(v + off)
+                rels.append(rel_id(spk[u], spk[v], u, v, S))
+                norm_vals.append(alphas[d][u, v])
+            off += ln
+        iu = torch.tensor(edges_u)
+        iv = torch.tensor(edges_v)
+        ir = torch.tensor(rels)
+        nr = torch.stack(norm_vals)
+
+        W = torch.einsum("rb,bde->rde", leaf("conv1", "att"),
+                         leaf("conv1", "basis"))
+        g = feats @ leaf("conv1", "root") + leaf("conv1", "bias")
+        msgs = nr[:, None] * torch.einsum("ed,edo->eo", feats[iu], W[ir])
+        n = feats.shape[0]
+        g = g + torch.zeros(n, W.shape[-1]).index_add(0, iv, msgs)
+
+        agg = torch.zeros(n, g.shape[-1]).index_add(0, iv, g[iu])
+        g2 = (
+            agg @ leaf("conv2", "lin_rel", "kernel")
+            + leaf("conv2", "lin_rel", "bias")
+            + g @ leaf("conv2", "lin_root", "kernel")
+            + leaf("conv2", "lin_root", "bias")
+        )
+        h = torch.cat([feats, g2], -1)
+        h = torch.relu(h @ leaf("clf_lin1", "kernel") + leaf("clf_lin1", "bias"))
+        ref_logits = h @ leaf("clf_lin2", "kernel") + leaf("clf_lin2", "bias")
+
+        labels = valid_rows(np.asarray(batch["label"])[..., None], lens)[:, 0]
+        return F.cross_entropy(ref_logits, torch.from_numpy(labels).long())
+
+    return loss_fn
+
+
+@pytest.mark.slow
+def test_dgcn_fullrun_equivalence():
+    """Full Adam run (lr 3e-4, dgcn.py:44) + eval + plateau for DialogueGCN
+    v1 — packed biLSTM, EdgeAtt, basis RGCN with edge_norm, and GraphConv
+    hold over a complete training protocol."""
+    from erc_tpu.models.dgcn import DGCNModule
+    from erc_tpu.train import optim as optim_factory
+
+    n_classes, S, wp, wf, hidden = 4, 2, 10, 10, 16
+    # dgcn's reference lr (3e-4) on a 16-wide model learns slowly: easier
+    # data + a longer run keep the progress assertion meaningful
+    data = proto_batches(n_classes=n_classes, n_batches=N_BATCHES + 1,
+                         seed=5, noise=0.7)
+    train, eval_batch = data[:-1], data[-1]
+    Din = train[0][0]["input_tensor"].shape[-1]
+    model = DGCNModule(
+        input_size=Din, hidden_size=hidden, n_speakers=S, wp=wp, wf=wf,
+        n_classes=n_classes, graph_impl="dense",
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        train[0][0], deterministic=True,
+    )
+    # the test runs lr 1e-3 (not the trainer's reference 3e-4, dgcn.py:44):
+    # at 3e-4 this 16-wide synthetic config sits in biLSTM warmup for the
+    # whole short run (probed: eval 1.37->1.24 over 16 epochs, accelerating)
+    # and the progress/plateau assertions would be vacuous; equivalence of
+    # the two stacks is lr-independent.  threshold=5e-4 makes the plateau
+    # fire on a decisive mid-run regression (~3% worse-than-best epoch)
+    # instead of the hovering 0.1%-improvement first epoch.
+    cfg = optim_factory.create_optim("Adam", lr=1e-3, weight_decay=0)
+    tx = optim_factory.build_optim(cfg)
+    leaf = LeafStore(jax.tree_util.tree_map(np.asarray, variables["params"]))
+    loss_fn = dgcn_ref_loss_factory(leaf, Din, hidden, S, wp, wf)
+    with torch.enable_grad():  # materialize replica leaves
+        loss_fn(leaf, train[0][0], train[0][1])
+    topt = torch.optim.Adam(list(leaf.t.values()), lr=1e-3, weight_decay=0)
+
+    hist, params, j_pred = run_full_training(
+        model, variables, tx, train, eval_batch, leaf, loss_fn, topt,
+        plateau_kw=dict(threshold=5e-4), n_epochs=16,
+    )
+    with torch.no_grad():
+        t_params = _leafstore_to_tree(leaf, variables["params"])
+        t_logits = model.apply({**variables, "params": t_params},
+                               eval_batch[0], deterministic=True)
+    t_pred = np.argmax(valid_rows(np.asarray(t_logits), eval_batch[1]), -1)
+    assert_runs_equivalent(hist, j_pred, t_pred)
