@@ -675,3 +675,123 @@ def test_dgcn_fullrun_equivalence():
                                eval_batch[0], deterministic=True)
     t_pred = np.argmax(valid_rows(np.asarray(t_logits), eval_batch[1]), -1)
     assert_runs_equivalent(hist, j_pred, t_pred)
+
+
+# ------------------------------------------------------- MMIN-base replica
+def mmin_ref_loss_factory(leaf, audio_dim=130, visual_dim=342):
+    """Differentiable torch replica of the MMIN base net (LSTM+maxpool A/V
+    encoders, TextCNN L encoder, 3-layer classifier; mmin_models.py:8-130),
+    packaged per-batch — the same math as
+    test_grad_parity_zoo.test_mmin_base_grad_parity.  LSTM Parameters are
+    SHARED with the LeafStore; lens is ignored (utterance-level batches
+    carry sample_mask instead)."""
+    from test_grad_parity_zoo import share_rnn
+
+    lstms = {}
+    for net, din in (("netA", audio_dim), ("netV", visual_dim)):
+        lstms[net] = torch.nn.LSTM(din, 128, num_layers=1, batch_first=True)
+        share_rnn(lstms[net], leaf, (net, "rnn"), layers=1, bidirectional=False)
+
+    def loss_fn(leaf, batch, lens):
+        def lstm_maxpool(xkey, net):
+            out, _ = lstms[net](t_(batch[xkey]))
+            return out.max(dim=1).values
+
+        def textcnn(xkey, net):
+            x = t_(batch[xkey])
+            outs = []
+            for k in (3, 4, 5):
+                w = leaf(net, f"conv{k}", "kernel").permute(2, 0, 1).unsqueeze(1)
+                b = leaf(net, f"conv{k}", "bias")
+                c = F.relu(F.conv2d(x[:, None], w, b).squeeze(3))
+                outs.append(F.max_pool1d(c, c.shape[2]).squeeze(2))
+            h = torch.cat(outs, 1)
+            return F.relu(h @ leaf(net, "embd", "kernel") + leaf(net, "embd", "bias"))
+
+        feats = torch.cat(
+            [
+                lstm_maxpool("audio_feature", "netA"),
+                lstm_maxpool("visual_feature", "netV"),
+                textcnn("text_feature", "netL"),
+            ],
+            -1,
+        )
+        h = feats
+        for i in range(2):
+            h = torch.relu(h @ leaf("netC", f"fc{i}", "kernel")
+                           + leaf("netC", f"fc{i}", "bias"))
+        ref_logits = h @ leaf("netC", "fc_out", "kernel") + leaf("netC", "fc_out", "bias")
+
+        sel = np.asarray(batch["sample_mask"]) > 0
+        return F.cross_entropy(
+            ref_logits[torch.from_numpy(sel)],
+            torch.from_numpy(np.asarray(batch["label"])[sel]).long(),
+        )
+
+    return loss_fn
+
+
+@pytest.mark.slow
+def test_mmin_base_fullrun_equivalence():
+    """Full Adam run (lr 2e-4, mmin_base.py:39) + eval + plateau for the
+    MMIN base net — utterance-level batches, LSTM+maxpool and TextCNN
+    encoders hold over a complete training protocol."""
+    from erc_tpu.data.mmin import MMINBatcher, synthetic_mmin
+    from erc_tpu.models.mmin_models import MMINBaseModule
+    from erc_tpu.train import optim as optim_factory
+    from erc_tpu.train.trainer import masked_cross_entropy
+
+    n_classes, B = 4, 8
+    samples = synthetic_mmin(n_classes, "train", n_train=B * (N_BATCHES + 1))
+    # synthetic_mmin's 0.8-noise prototypes collapse the loss to ~1e-4 by
+    # epoch 7, where relative plateau/NLL comparisons are meaningless; 6x
+    # extra feature noise keeps the floor at ~0.3 with a decisive eval
+    # regression around epoch 8 that exercises the plateau decision
+    g = np.random.default_rng(13)
+    for s in samples:
+        for k in ("audio_feature", "visual_feature", "text_feature"):
+            s[k] = (s[k] + 6.0 * g.normal(size=s[k].shape)).astype(np.float32)
+    batcher = MMINBatcher(max_audio_len=16, has_miss=False, pad_batch_to=B)
+    batches = [
+        (batcher(samples[i * B : (i + 1) * B]), [1] * B)
+        for i in range(N_BATCHES + 1)
+    ]
+    train, eval_batch = batches[:-1], batches[-1]
+
+    model = MMINBaseModule(n_classes=n_classes)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        train[0][0], deterministic=True,
+    )
+
+    def jax_loss_fn(params, batch):
+        logits, _fusion = model.apply({**variables, "params": params}, batch,
+                                      deterministic=True)
+        return masked_cross_entropy(
+            logits, jnp.asarray(batch["label"]), jnp.asarray(batch["sample_mask"])
+        )
+
+    def pred_logits_fn(params, batch):
+        logits, _fusion = model.apply({**variables, "params": params}, batch,
+                                      deterministic=True)
+        # [B, C] -> [B, 1, C] so the harness's valid_rows(lens=[1]*B) works
+        return logits[:, None, :]
+
+    cfg = optim_factory.create_optim("Adam", lr=2e-4, weight_decay=0)
+    tx = optim_factory.build_optim(cfg)
+    leaf = LeafStore(jax.tree_util.tree_map(np.asarray, variables["params"]))
+    loss_fn = mmin_ref_loss_factory(leaf)
+    with torch.enable_grad():  # materialize replica leaves
+        loss_fn(leaf, train[0][0], train[0][1])
+    topt = torch.optim.Adam(list(leaf.t.values()), lr=2e-4, weight_decay=0)
+
+    hist, params, j_pred = run_full_training(
+        model, variables, tx, train, eval_batch, leaf, loss_fn, topt,
+        jax_loss_fn=jax_loss_fn, pred_logits_fn=pred_logits_fn,
+    )
+    with torch.no_grad():
+        t_params = _leafstore_to_tree(leaf, variables["params"])
+        t_lg, _ = model.apply({**variables, "params": t_params},
+                              eval_batch[0], deterministic=True)
+    t_pred = np.argmax(np.asarray(t_lg), -1)
+    assert_runs_equivalent(hist, j_pred, t_pred)
