@@ -677,6 +677,183 @@ def test_dgcn_fullrun_equivalence():
     assert_runs_equivalent(hist, j_pred, t_pred)
 
 
+# --------------------------------------------- dgcnv2 / DialogueRNN replica
+def dgcnv2_ref_loss_factory(leaf, S, wp, wf, hidden, d_g, d_p):
+    """Differentiable torch replica of dgcnv2 with the DialogueRNN base
+    encoder (DialogueRNNCell dgcnv2_models.py:235-347 with 'general'
+    matching attention, MaskedEdgeAttention 'attn1' :517-562, basis RGCN +
+    GraphConv GraphNetwork :753-773, matchatt 'general2' + classifier
+    :693-750), packaged per-batch — the same math as
+    test_grad_parity_zoo.test_dgcnv2_dialoguernn_forward_and_grad_parity.
+    Every weight flows through the LeafStore (the nested GRU cells are
+    explicit leaf matmuls, so no torch modules need sharing)."""
+    from test_grad_parity_zoo import gru_t
+    from test_model_torch_parity import edge_perms, rel_id
+
+    def drnn(prefix, U, qm):
+        """DialogueRNN over one dialogue's valid prefix. U [ln, Dm],
+        qm [ln, P] one-hot → [ln, D_e]."""
+        ln, P = qm.shape
+        cell = lambda tag, x, h: gru_t(
+            x, h, leaf(prefix, f"{tag}_w_ih"), leaf(prefix, f"{tag}_w_hh"),
+            leaf(prefix, f"{tag}_b_ih"), leaf(prefix, f"{tag}_b_hh"),
+        )
+        g_hist = []
+        g_prev = torch.zeros(1, d_g)
+        q = torch.zeros(P, d_p)
+        e_prev = torch.zeros(1, hidden)
+        es = []
+        for t in range(ln):
+            u = U[t : t + 1]
+            qmt = qm[t]
+            idx = int(qmt.argmax())
+            g_ = cell("g_cell", torch.cat([u, q[idx : idx + 1]], 1), g_prev)
+            if t == 0:
+                c = torch.zeros(1, d_g)
+            else:
+                M = torch.cat(g_hist, 0)  # [t, D_g]
+                xq = u @ leaf(prefix, "att_transform").T  # [1, D_g]
+                alpha = torch.softmax(xq @ M.T, -1)
+                c = alpha @ M
+            uc = torch.cat([u, c], 1)
+            qs = cell("p_cell", uc.expand(P, -1), q)
+            q = q * (1 - qmt[:, None]) + qs * qmt[:, None]
+            e_ = cell("e_cell", q[idx : idx + 1], e_prev)
+            g_hist.append(g_)
+            g_prev, e_prev = g_, e_
+            es.append(e_)
+        return torch.cat(es, 0)
+
+    def loss_fn(leaf, batch, lens):
+        spk_all = np.asarray(batch["speaker_ids"])
+        em_list = []
+        for d, ln in enumerate(lens):
+            U = t_(np.asarray(batch["input_tensor"])[d, :ln])
+            qm = torch.from_numpy(np.eye(S, dtype=np.float32)[spk_all[d, :ln]])
+            f = drnn("dialog_rnn_f", U, qm)
+            b = drnn("dialog_rnn_r", torch.flip(U, [0]), torch.flip(qm, [0]))
+            b = torch.flip(b, [0])
+            em_list.append(torch.cat([f, b], -1))  # [ln, 2*hidden]
+
+        # MaskedEdgeAttention 'attn1': alpha[u, v] = softmax_v∈win(u) W[u]·em_v
+        W_sc = leaf("att_model", "scalar")
+        edges_u, edges_v, rels, norm_vals = [], [], [], []
+        off = 0
+        for d, ln in enumerate(lens):
+            emd = em_list[d]
+            wx = W_sc[:ln] @ emd.T  # [ln(u), ln(v)]
+            spk = spk_all[d]
+            probs = {
+                u: torch.softmax(
+                    wx[u, max(0, u - wp): min(ln - 1, u + wf) + 1], 0)
+                for u in range(ln)
+            }
+            for u, v in edge_perms(ln, wp, wf):
+                edges_u.append(u + off)
+                edges_v.append(v + off)
+                rels.append(rel_id(spk[u], spk[v], u, v, S))
+                norm_vals.append(probs[u][v - max(0, u - wp)])
+            off += ln
+
+        em_flat = torch.cat(em_list, 0)
+        N = em_flat.shape[0]
+        iu = torch.tensor(edges_u)
+        iv = torch.tensor(edges_v)
+        ir = torch.tensor(rels)
+        nr = torch.stack(norm_vals)
+        Wr = torch.einsum("rb,bde->rde", leaf("conv1", "att"),
+                          leaf("conv1", "basis"))
+        g = em_flat @ leaf("conv1", "root") + leaf("conv1", "bias")
+        msgs = nr[:, None] * torch.einsum("ed,edo->eo", em_flat[iu], Wr[ir])
+        g = g + torch.zeros(N, Wr.shape[-1]).index_add(0, iv, msgs)
+
+        agg = torch.zeros(N, g.shape[-1]).index_add(0, iv, g[iu])
+        g2 = (
+            agg @ leaf("conv2", "lin_rel", "kernel")
+            + leaf("conv2", "lin_rel", "bias")
+            + g @ leaf("conv2", "lin_root", "kernel")
+            + leaf("conv2", "lin_root", "bias")
+        )
+
+        em2 = torch.cat([em_flat, g2], -1)
+        # matchatt 'general2' per dialogue over valid nodes
+        rows = []
+        off = 0
+        for d, ln in enumerate(lens):
+            emd = em2[off : off + ln]
+            xq = emd @ leaf("matchatt_w").T + leaf("matchatt_b")
+            scores = torch.tanh(xq @ emd.T)
+            alpha = torch.softmax(scores, -1)
+            rows.append(alpha @ emd)
+            off += ln
+        att_em = torch.cat(rows, 0)
+        h = torch.relu(att_em @ leaf("linear", "kernel") + leaf("linear", "bias"))
+        ref_logits = h @ leaf("smax_fc", "kernel") + leaf("smax_fc", "bias")
+
+        labels = valid_rows(np.asarray(batch["label"])[..., None], lens)[:, 0]
+        return F.cross_entropy(ref_logits, torch.from_numpy(labels).long())
+
+    return loss_fn
+
+
+@pytest.mark.slow
+def test_dgcnv2_fullrun_equivalence():
+    """Full Adam run (reference lr 3e-4, dgcnv2.py:38) + eval + plateau for
+    dgcnv2/DialogueRNN — the nested-scan recurrence, MaskedEdgeAttention,
+    GraphNetwork, and general2 nodal attention hold over a complete
+    training protocol.  Closes the last full-run-equivalence family."""
+    from erc_tpu.models.dgcnv2 import DGCNV2Module
+    from erc_tpu.train import optim as optim_factory
+
+    n_classes, S, wp, wf = 4, 2, 2, 2
+    hidden, d_g, d_p, gh = 10, 8, 8, 12
+    data = proto_batches(n_classes=n_classes, n_batches=N_BATCHES + 1,
+                         seed=17, noise=0.7)
+    train, eval_batch = data[:-1], data[-1]
+    Din = train[0][0]["input_tensor"].shape[-1]
+    L = np.asarray(train[0][0]["attention_mask"]).shape[1]
+    model = DGCNV2Module(
+        base_model="DialogRNN", input_size=Din, hidden_size=hidden,
+        n_speakers=S, wp=wp, wf=wf, n_classes=n_classes, max_seq_len=L,
+        graph_hidden_size=gh, d_g=d_g, d_p=d_p,
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        train[0][0], deterministic=True,
+    )
+    # the test runs lr 3e-3 (not the trainer's reference 3e-4, dgcnv2.py:38):
+    # the 10-wide DialogueRNN stack sits in warmup for the whole short run at
+    # the reference lr (probed: loss 1.383 -> 1.378 over 12 epochs) and the
+    # progress/plateau assertions would be vacuous; equivalence of the two
+    # stacks is lr-independent.
+    cfg = optim_factory.create_optim("Adam", lr=3e-3, weight_decay=0)
+    tx = optim_factory.build_optim(cfg)
+    leaf = LeafStore(jax.tree_util.tree_map(np.asarray, variables["params"]))
+    loss_fn = dgcnv2_ref_loss_factory(leaf, S, wp, wf, hidden, d_g, d_p)
+    with torch.enable_grad():  # materialize replica leaves
+        loss_fn(leaf, train[0][0], train[0][1])
+    topt = torch.optim.Adam(list(leaf.t.values()), lr=3e-3, weight_decay=0)
+
+    # patience=4 (not the harness default 0): the DialogueRNN stack's eval
+    # WORSENS for ~5 warmup epochs before learning kicks in (probed:
+    # 1.387→1.418→…→1.28 by epoch 8) — patience=0 would halve the lr every
+    # warmup epoch and freeze the run at lr≈5e-5.  With patience=4 the
+    # plateau fires exactly once, at epoch 5 (the tail of the hover, with a
+    # ≥3e-3 decision margin vs ~1e-5 cross-stack drift), then the descent
+    # is smooth through epoch 20.  Longer runs reach the post-convergence
+    # oscillation where chaotic divergence outruns the 5% loss tolerance.
+    hist, params, j_pred = run_full_training(
+        model, variables, tx, train, eval_batch, leaf, loss_fn, topt,
+        plateau_kw=dict(patience=4), n_epochs=20,
+    )
+    with torch.no_grad():
+        t_params = _leafstore_to_tree(leaf, variables["params"])
+        t_logits = model.apply({**variables, "params": t_params},
+                               eval_batch[0], deterministic=True)
+    t_pred = np.argmax(valid_rows(np.asarray(t_logits), eval_batch[1]), -1)
+    assert_runs_equivalent(hist, j_pred, t_pred)
+
+
 # ------------------------------------------------------- MMIN-base replica
 def mmin_ref_loss_factory(leaf, audio_dim=130, visual_dim=342):
     """Differentiable torch replica of the MMIN base net (LSTM+maxpool A/V
