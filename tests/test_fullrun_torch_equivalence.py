@@ -972,3 +972,192 @@ def test_mmin_base_fullrun_equivalence():
                               eval_batch[0], deterministic=True)
     t_pred = np.argmax(np.asarray(t_lg), -1)
     assert_runs_equivalent(hist, j_pred, t_pred)
+
+
+# ------------------------------------------------------- MMIN-miss replica
+def mminmiss_ref_loss_factory(leaf, ae_layers=(256, 128, 64), n_blocks=5,
+                              input_dim=384):
+    """Differentiable torch replica of the MMIN imagination net (tri-encoder
+    + twin ResidualAEs + classifier-on-latent; mmin_models.py:133-199,
+    mmin_miss.py:66-110) with the reference multitask loss
+    Lce + 4·Lmse(reverse_enc, fusion) + 2·Lcycle(features, fusion_cycle)
+    (mmin_miss.py:205-215).  The frozen pretrained-encoder regression
+    target is precomputed into batch['reverse_target'] (it is
+    stop_gradient'd constant data — identical on both stacks).  LSTM
+    Parameters are SHARED with the LeafStore."""
+    from test_grad_parity_zoo import share_rnn
+
+    lstms = {}
+    for net, din in (("netA", 130), ("netV", 342)):
+        lstms[net] = torch.nn.LSTM(din, 128, num_layers=1, batch_first=True)
+        share_rnn(lstms[net], leaf, (net, "rnn"), layers=1, bidirectional=False)
+
+    def res_ae(net, x):
+        """ResidualAE (mmin_models.py:133-199): block input accumulates the
+        previous block's output; latents concatenate; transition MLP on
+        (x_in + x_out)."""
+        x_in = x
+        x_out = torch.zeros_like(x)
+        latents = []
+        for b in range(n_blocks):
+            x_in = x_in + x_out
+            h = x_in
+            for i in range(len(ae_layers)):
+                h = h @ leaf(net, f"enc{b}_{i}", "kernel") + leaf(net, f"enc{b}_{i}", "bias")
+                if i < len(ae_layers) - 1:
+                    h = F.leaky_relu(h, 0.01)
+            latents.append(h)
+            widths = list(ae_layers)[::-1][1:] + [input_dim]
+            for i in range(len(widths)):
+                h = h @ leaf(net, f"dec{b}_{i}", "kernel") + leaf(net, f"dec{b}_{i}", "bias")
+                if i < len(widths) - 1:
+                    h = F.relu(h)
+            x_out = h
+        t = x_in + x_out
+        t = torch.relu(t @ leaf(net, "trans0", "kernel") + leaf(net, "trans0", "bias"))
+        t = t @ leaf(net, "trans1", "kernel") + leaf(net, "trans1", "bias")
+        return t, torch.cat(latents, -1)
+
+    def masked_mse_t(a, b, mask):
+        per = ((a - b) ** 2).mean(-1)
+        return (per * mask).sum() / torch.clamp(mask.sum(), min=1.0)
+
+    def loss_fn(leaf, batch, lens):
+        def lstm_maxpool(xkey, net):
+            out, _ = lstms[net](t_(batch[xkey]))
+            return out.max(dim=1).values
+
+        def textcnn(xkey, net):
+            x = t_(batch[xkey])
+            outs = []
+            for k in (3, 4, 5):
+                w = leaf(net, f"conv{k}", "kernel").permute(2, 0, 1).unsqueeze(1)
+                b = leaf(net, f"conv{k}", "bias")
+                c = F.relu(F.conv2d(x[:, None], w, b).squeeze(3))
+                outs.append(F.max_pool1d(c, c.shape[2]).squeeze(2))
+            h = torch.cat(outs, 1)
+            return F.relu(h @ leaf(net, "embd", "kernel") + leaf(net, "embd", "bias"))
+
+        features = torch.cat(
+            [
+                lstm_maxpool("audio_feature", "netA"),
+                lstm_maxpool("visual_feature", "netV"),
+                textcnn("text_feature", "netL"),
+            ],
+            -1,
+        )
+        fusion, latent = res_ae("netAE", features)
+        fusion_cycle, _ = res_ae("netAE_cycle", features)
+        h = latent
+        for i in range(2):
+            h = torch.relu(h @ leaf("netC", f"fc{i}", "kernel")
+                           + leaf("netC", f"fc{i}", "bias"))
+        logits = h @ leaf("netC", "fc_out", "kernel") + leaf("netC", "fc_out", "bias")
+
+        mask_np = np.asarray(batch["sample_mask"]) > 0
+        Lce = F.cross_entropy(
+            logits[torch.from_numpy(mask_np)],
+            torch.from_numpy(np.asarray(batch["label"])[mask_np]).long(),
+        )
+        tm = t_(np.asarray(batch["sample_mask"], np.float32))
+        rev = t_(batch["reverse_target"])
+        Lmse = masked_mse_t(rev, fusion, tm)
+        Lcycle = masked_mse_t(features, fusion_cycle, tm)
+        return Lce + 4.0 * Lmse + 2.0 * Lcycle
+
+    return loss_fn
+
+
+@pytest.mark.slow
+def test_mmin_miss_fullrun_equivalence():
+    """Full Adam run + eval + plateau for MMIN-miss — the Missing-modality
+    batches, twin ResidualAE imagination/cycle paths, the frozen
+    pretrained-encoder MSE target, and the Lce+4·Lmse+2·Lcycle multitask
+    weighting hold over a complete training protocol.  This is the only
+    torch-parity coverage of ResidualAE anywhere in the suite."""
+    from erc_tpu.data.mmin import MMINBatcher, synthetic_mmin
+    from erc_tpu.models.mmin_miss import masked_mse
+    from erc_tpu.models.mmin_models import MMINBaseModule, MMINMissModule
+    from erc_tpu.train import optim as optim_factory
+    from erc_tpu.train.trainer import masked_cross_entropy
+
+    n_classes, B = 4, 8
+    samples = synthetic_mmin(n_classes, "train", n_train=B * (N_BATCHES + 1))
+    # same feature-noise trick as the base test: keep the CE floor nonzero
+    # so plateau decisions compare meaningful numbers
+    g = np.random.default_rng(23)
+    for s in samples:
+        for k in ("audio_feature", "visual_feature", "text_feature"):
+            s[k] = (s[k] + 6.0 * g.normal(size=s[k].shape)).astype(np.float32)
+    batcher = MMINBatcher(max_audio_len=16, has_miss=True, pad_batch_to=B,
+                          rng=np.random.default_rng(5))
+    batches = [
+        (batcher(samples[i * B : (i + 1) * B]), [1] * B)
+        for i in range(N_BATCHES + 1)
+    ]
+
+    model = MMINMissModule(n_classes=n_classes)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batches[0][0], deterministic=True,
+    )
+    # frozen random-init pretrained encoder (mmin_miss.py:55: None →
+    # random); its encoding of the REVERSE features is the regression
+    # target — constant data, so bake it into each batch once
+    pretrained = MMINBaseModule(n_classes=n_classes)
+    pp = pretrained.init({"params": jax.random.PRNGKey(7)}, batches[0][0],
+                         deterministic=True)["params"]
+    for b, _lens in batches:
+        rev = {
+            "audio_feature": b["audio_feature_reverse"],
+            "visual_feature": b["visual_feature_reverse"],
+            "text_feature": b["text_feature_reverse"],
+        }
+        b["reverse_target"] = np.asarray(
+            pretrained.apply({"params": pp}, rev, deterministic=True,
+                             method=pretrained.encode)
+        )
+    train, eval_batch = batches[:-1], batches[-1]
+
+    def jax_loss_fn(params, batch):
+        logits, fusion, fusion_cycle, features = model.apply(
+            {**variables, "params": params}, batch, deterministic=True
+        )
+        mask = jnp.asarray(batch["sample_mask"])
+        Lce = masked_cross_entropy(logits, jnp.asarray(batch["label"]), mask)
+        Lmse = masked_mse(jnp.asarray(batch["reverse_target"]), fusion, mask)
+        Lcycle = masked_mse(features, fusion_cycle, mask)
+        return Lce + 4.0 * Lmse + 2.0 * Lcycle
+
+    def pred_logits_fn(params, batch):
+        logits, *_ = model.apply({**variables, "params": params}, batch,
+                                 deterministic=True)
+        return logits[:, None, :]
+
+    cfg = optim_factory.create_optim("Adam", lr=2e-4, weight_decay=0)
+    tx = optim_factory.build_optim(cfg)
+    leaf = LeafStore(jax.tree_util.tree_map(np.asarray, variables["params"]))
+    loss_fn = mminmiss_ref_loss_factory(leaf)
+    with torch.enable_grad():  # materialize replica leaves
+        loss_fn(leaf, train[0][0], train[0][1])
+    topt = torch.optim.Adam(list(leaf.t.values()), lr=2e-4, weight_decay=0)
+
+    hist, params, j_pred = run_full_training(
+        model, variables, tx, train, eval_batch, leaf, loss_fn, topt,
+        jax_loss_fn=jax_loss_fn, pred_logits_fn=pred_logits_fn,
+    )
+    with torch.no_grad():
+        t_params = _leafstore_to_tree(leaf, variables["params"])
+        t_lg, *_ = model.apply({**variables, "params": t_params},
+                               eval_batch[0], deterministic=True)
+    t_pred = np.argmax(np.asarray(t_lg), -1)
+    # loss_rtol=0.3 (not the default 0.05): the 4·Lmse term against a
+    # random-encoder target makes this the steepest landscape in the file
+    # (loss 118 → ~6.3); per-step agreement stays ≤5% through the descent
+    # but the post-convergence oscillation floor is chaotic enough that the
+    # last-3-step mean is luck-dependent (observed 20% once under CPU
+    # contention, where torch's thread-count-dependent reduction order
+    # perturbs the replica).  The load-bearing assertions — near-exact
+    # first steps, step-for-step plateau/LR decisions (3 firings), ≥90%
+    # prediction agreement — keep the default strictness.
+    assert_runs_equivalent(hist, j_pred, t_pred, loss_rtol=0.3)
