@@ -30,16 +30,37 @@ IMAGENET_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
 IMAGENET_STD = np.array([58.395, 57.12, 57.375], np.float32)
 
 
+def temporal_shift(x, n_segment: int, n_div: int = 8):
+    """TSM zero-padded channel-fold shift over the segment axis
+    (reference preprocess/video/tsm_model.py:42-59): the first C/n_div
+    channels move one segment earlier, the next C/n_div one segment
+    later, the rest stay.  x: [N·T, H, W, C] (NHWC), T = n_segment."""
+    nt, h, w, c = x.shape
+    n = nt // n_segment
+    x = x.reshape(n, n_segment, h, w, c)
+    fold = c // n_div
+    zeros = jnp.zeros_like(x[:, :1, ..., :fold])
+    left = jnp.concatenate([x[:, 1:, ..., :fold], zeros], axis=1)
+    right = jnp.concatenate([zeros, x[:, :-1, ..., fold : 2 * fold]], axis=1)
+    out = jnp.concatenate([left, right, x[..., 2 * fold :]], axis=-1)
+    return out.reshape(nt, h, w, c)
+
+
 class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     downsample: bool = False
+    # TSM 'blockres' placement (tsm_model.py:135-147): shift the residual
+    # branch's conv1 INPUT; the identity path stays unshifted.  0 = off.
+    n_segment: int = 0
+    n_div: int = 8
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         bn = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9, epsilon=1e-5)
         residual = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        h = temporal_shift(x, self.n_segment, self.n_div) if self.n_segment else x
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(h)
         out = bn(name="bn1")(out)
         out = nn.relu(out)
         out = nn.Conv(
@@ -60,7 +81,14 @@ class Bottleneck(nn.Module):
 
 
 class ResNet50(nn.Module):
-    """torchvision/mmaction-layout ResNet-50 feature extractor (2048-d)."""
+    """torchvision/mmaction-layout ResNet-50 feature extractor (2048-d).
+
+    ``n_segment > 0`` inserts the TSM temporal shift at every residual
+    block (reference make_temporal_shift place='blockres', n_round=1 for
+    R50 since layer3 has 6 < 23 blocks; tsm_model.py:112-155)."""
+
+    n_segment: int = 0
+    n_div: int = 8
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -76,6 +104,7 @@ class ResNet50(nn.Module):
             for bi in range(blocks):
                 x = Bottleneck(
                     planes, stride=stride if bi == 0 else 1, downsample=(bi == 0),
+                    n_segment=self.n_segment, n_div=self.n_div,
                     name=f"layer{li}_{bi}",
                 )(x, train=train)
         return x.mean(axis=(1, 2))  # global average pool → [B, 2048]

@@ -137,3 +137,95 @@ def test_text_encoder_with_random_tiny_model():
     assert np.isfinite(out).all()
     maps = enc.encode_dialogues({"d1": ["a", "b"], "d2": ["c"]})
     assert maps["d1"].shape == (2, 16) and maps["d2"].shape == (1, 16)
+
+
+# -------------------------------------------------------------------- TSM
+def test_temporal_shift_matches_reference_math():
+    """jax temporal_shift == the reference's zero-padded channel-fold
+    shift (preprocess/video/tsm_model.py:42-59), exactly."""
+    torch = pytest.importorskip("torch")
+    from erc_tpu.preprocess.video import temporal_shift
+
+    def ref_shift(x, n_segment, fold_div):
+        nt, c, h, w = x.size()
+        x = x.view(nt // n_segment, n_segment, c, h, w)
+        fold = c // fold_div
+        out = torch.zeros_like(x)
+        out[:, :-1, :fold] = x[:, 1:, :fold]
+        out[:, 1:, fold : 2 * fold] = x[:, :-1, fold : 2 * fold]
+        out[:, :, 2 * fold :] = x[:, :, 2 * fold :]
+        return out.view(nt, c, h, w)
+
+    rng = np.random.default_rng(0)
+    for n_seg, n_div, c in ((4, 8, 16), (3, 8, 17), (2, 4, 8)):
+        x = rng.normal(size=(2 * n_seg, c, 3, 5)).astype(np.float32)
+        want = ref_shift(torch.from_numpy(x), n_seg, n_div).numpy()
+        got = np.asarray(
+            temporal_shift(jnp.asarray(x.transpose(0, 2, 3, 1)), n_seg, n_div)
+        ).transpose(0, 3, 1, 2)
+        np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
+def test_tsm_recognizer_port_matches_torch():
+    """Whole-recognizer parity: torch TSN+TSM (blockres shift on every
+    block's conv1, avg consensus, new_fc head — tsm_model.py:619-770)
+    ported into TSMRecognizer matches the torch forward."""
+    torch = pytest.importorskip("torch")
+    from torch import nn as tnn
+
+    from erc_tpu.preprocess.tsm import TSMRecognizer, port_torch_tsm
+
+    n_seg, num_class = 4, 5
+
+    class TemporalShift(tnn.Module):  # reference wrapper (tsm_model.py:26-59)
+        def __init__(self, net, n_segment, n_div):
+            super().__init__()
+            self.net = net
+            self.n_segment = n_segment
+            self.n_div = n_div
+
+        def forward(self, x):
+            nt, c, h, w = x.size()
+            xs = x.view(nt // self.n_segment, self.n_segment, c, h, w)
+            fold = c // self.n_div
+            out = torch.zeros_like(xs)
+            out[:, :-1, :fold] = xs[:, 1:, :fold]
+            out[:, 1:, fold : 2 * fold] = xs[:, :-1, fold : 2 * fold]
+            out[:, :, 2 * fold :] = xs[:, :, 2 * fold :]
+            return self.net(out.view(nt, c, h, w))
+
+    base = _tiny_torch_resnet50()
+    for layer in (base.layer1, base.layer2, base.layer3, base.layer4):
+        for b in layer:  # blockres, n_round=1 (R50: layer3 has 6 < 23 blocks)
+            b.conv1 = TemporalShift(b.conv1, n_seg, 8)
+
+    class TorchTSM(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.base_model = base
+            self.new_fc = tnn.Linear(2048, num_class)
+
+        def forward(self, x):  # x: [N, T, C, H, W]
+            n, t = x.shape[:2]
+            feats = self.base_model(x.reshape((n * t,) + x.shape[2:]))
+            logits = self.new_fc(feats)  # eval: dropout is identity
+            return logits.view(n, t, -1).mean(dim=1)  # avg consensus
+
+    tmod = TorchTSM().eval()
+    with torch.no_grad():
+        for m in tmod.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+
+    x = np.random.default_rng(1).normal(size=(2, n_seg, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tmod(torch.from_numpy(x)).numpy()
+
+    variables = port_torch_tsm(tmod.state_dict())
+    model = TSMRecognizer(num_class=num_class, n_segment=n_seg)
+    got = np.asarray(
+        model.apply(variables, jnp.asarray(x.transpose(0, 1, 3, 4, 2)), train=False)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
