@@ -170,16 +170,23 @@ def bench_tpu(batch_size=32, max_len=96, steps=32, steps_per_call=8,
     for kv in overrides:  # --set model params, e.g. dag_chunk=16
         k, v = kv.split("=", 1)
         cur = p.get(k)
-        if v in ("true", "false", "True", "False"):
-            p[k] = v.lower() == "true"
-        elif isinstance(cur, bool):
-            # bool-defaulted knobs may take mode strings too (gcn_remat=dots)
-            p[k] = v
+        low = v.lower()
+        if isinstance(cur, bool) or (cur is None and low in ("true", "false")):
+            # bool knobs accept 1/0/true/false/on/off — a bare "0" must
+            # NOT land as a raw string (bool("0") is True downstream)
+            if low in ("1", "true", "on", "yes"):
+                p[k] = True
+            elif low in ("0", "false", "off", "no"):
+                p[k] = False
+            else:
+                p[k] = v  # mode string for object-typed knobs
         elif isinstance(cur, int):
             p[k] = int(v)
         elif isinstance(cur, float):
             p[k] = float(v)
         else:
+            # string/choice knobs take the value verbatim; constraint
+            # checking (e.g. gcn_remat ∈ full|off|dots) reports bad values
             p[k] = v
     p.iparams()
     tr = trainer_cls(p)

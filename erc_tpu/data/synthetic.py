@@ -102,7 +102,10 @@ def synthetic_daily(n_classes=7, split="train", n_train=24, vocab=400,
         tokens = []
         for y in labels:
             k = int(rng.integers(3, n_words))
-            lo = 1 + int(y) * band
+            # clamp so the band always fits inside [1, vocab): with a tiny
+            # vocab (vocab <= n_classes) high classes would otherwise get
+            # an empty range and rng.integers(lo, hi<=lo) raises
+            lo = min(1 + int(y) * band, max(vocab - band, 1))
             toks = rng.integers(lo, min(lo + band, vocab), size=k)
             noise = rng.random(k) < 0.2
             toks = np.where(noise, rng.integers(1, vocab, size=k), toks)

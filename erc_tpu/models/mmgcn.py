@@ -44,7 +44,13 @@ class MMGCNParams(MMBaseParams):
         self.graph_hidden_size = 200
         self.gcn_layers = 64
         self.drop_rate = 0.4
-        self.adj_impl = self.choice("structured", "dense")
+        # dense default since round 4: after the GCNII restructure (split
+        # support matmul + rbg dropout + full remat) the [B,3L,3L] one-big-
+        # matmul aggregation beats the block-structured form on the MXU
+        # (B=32 L=96 on-chip: dense 1 830 train / 8 593 eval vs structured
+        # 1 411 / 5 816 dia/s) — the 3× aggregation-FLOP saving no longer
+        # pays once the step is dispatch/layout-bound, not FLOP-bound
+        self.adj_impl = self.choice("dense", "structured")
         # 'full' chunked remat became the WINNER in round 4 (1 856 vs
         # 1 684 dia/s f32 at B=32): once dropout moved to the rbg PRNG and
         # the support matmul split landed, the forward recompute is cheaper
@@ -85,7 +91,7 @@ class MMGCNModule(nn.Module):
     gcn_layers: int = 64
     drop_rate: float = 0.4
     use_speaker: bool = True
-    adj_impl: str = "structured"
+    adj_impl: str = "dense"
     gcn_remat: object = 'full'  # 'off'/False | 'full' | 'dots'
     lstm_mode: str = "packed"  # 'unpacked' = reference-exact padded biLSTM
 

@@ -93,9 +93,17 @@ def port_torch_tsm(state_dict: Dict[str, Any]) -> Dict[str, Any]:
 
     params = dict(variables["params"])
     out = {"params": {"base_model": params}, "batch_stats": {"base_model": variables["batch_stats"]}}
+    # dropout>0 checkpoints carry the classifier as new_fc; dropout=0 ones
+    # keep it at base_model.fc (TSN._prepare_tsn, tsm_model.py:688-696) —
+    # port either so no trained classifier is silently dropped
     if "new_fc.weight" in sd:
-        out["params"]["new_fc"] = {
-            "kernel": arr(sd["new_fc.weight"]).T,
-            "bias": arr(sd["new_fc.bias"]),
-        }
+        fc_w, fc_b = sd["new_fc.weight"], sd["new_fc.bias"]
+    elif "base_model.fc.weight" in sd:
+        fc_w, fc_b = sd["base_model.fc.weight"], sd["base_model.fc.bias"]
+    else:
+        raise KeyError(
+            "TSM checkpoint has neither new_fc nor base_model.fc — "
+            f"classifier missing (keys: {sorted(sd)[:5]}…)"
+        )
+    out["params"]["new_fc"] = {"kernel": arr(fc_w).T, "bias": arr(fc_b)}
     return out
