@@ -188,3 +188,36 @@ class MMINMissModule(nn.Module):
         fusion_cycle, _ = self.netAE_cycle(features, deterministic)
         logits, _ = self.netC(latent, deterministic)
         return logits, fusion, fusion_cycle, features
+
+
+class MMINMiss2Module(nn.Module):
+    """Twin jointly-trained base nets (track_mm/mmin_miss2.py:131-226).
+
+    Unlike mmin_miss there is no imagination AE and no frozen encoder:
+    ``net`` classifies the Missing-masked inputs while ``netB`` classifies
+    the complementary (reverse) features, BOTH train under one optimizer,
+    and an MSE pulls net's penultimate classifier feature toward netB's
+    with no stop-gradient anywhere (mmin_miss2.py:194-208:
+    Lall = Lce + 4*Lmse(reverse_features, fusion_feature) + Lrce).
+    Eval/test classify with ``net`` alone (to_logits, mmin_miss2.py:165).
+    """
+
+    n_classes: int = 4
+
+    def setup(self):
+        self.net = MMINBaseModule(self.n_classes)
+        self.netB = MMINBaseModule(self.n_classes)
+
+    def __call__(self, batch, deterministic: bool = True, with_reverse: bool = False):
+        logits, fusion = self.net(batch, deterministic)
+        # init must touch netB too (flax creates params on first call); the
+        # init batch comes from a has_miss batcher, so reverse keys exist
+        if not (with_reverse or self.is_initializing()):
+            return logits, fusion
+        rev = {
+            "audio_feature": batch["audio_feature_reverse"],
+            "visual_feature": batch["visual_feature_reverse"],
+            "text_feature": batch["text_feature_reverse"],
+        }
+        rlogits, rfeat = self.netB(rev, deterministic)
+        return logits, fusion, rlogits, rfeat

@@ -855,21 +855,21 @@ def test_dgcnv2_fullrun_equivalence():
 
 
 # ------------------------------------------------------- MMIN-base replica
-def mmin_ref_loss_factory(leaf, audio_dim=130, visual_dim=342):
-    """Differentiable torch replica of the MMIN base net (LSTM+maxpool A/V
-    encoders, TextCNN L encoder, 3-layer classifier; mmin_models.py:8-130),
-    packaged per-batch — the same math as
-    test_grad_parity_zoo.test_mmin_base_grad_parity.  LSTM Parameters are
-    SHARED with the LeafStore; lens is ignored (utterance-level batches
-    carry sample_mask instead)."""
+def mmin_base_fwd_factory(leaf, prefix=(), audio_dim=130, visual_dim=342):
+    """Differentiable torch replica of ONE MMIN base net (LSTM+maxpool A/V
+    encoders, TextCNN L encoder, 3-layer classifier returning (logits,
+    penultimate feature); mmin_models.py:8-130, 202-240) whose params live
+    under ``prefix`` in the LeafStore ('' = top level).  LSTM Parameters
+    are SHARED with the LeafStore."""
     from test_grad_parity_zoo import share_rnn
 
+    pfx = tuple(prefix) if not isinstance(prefix, str) else (prefix,)
     lstms = {}
     for net, din in (("netA", audio_dim), ("netV", visual_dim)):
         lstms[net] = torch.nn.LSTM(din, 128, num_layers=1, batch_first=True)
-        share_rnn(lstms[net], leaf, (net, "rnn"), layers=1, bidirectional=False)
+        share_rnn(lstms[net], leaf, pfx + (net, "rnn"), layers=1, bidirectional=False)
 
-    def loss_fn(leaf, batch, lens):
+    def fwd(batch, akey="audio_feature", vkey="visual_feature", tkey="text_feature"):
         def lstm_maxpool(xkey, net):
             out, _ = lstms[net](t_(batch[xkey]))
             return out.max(dim=1).values
@@ -878,32 +878,49 @@ def mmin_ref_loss_factory(leaf, audio_dim=130, visual_dim=342):
             x = t_(batch[xkey])
             outs = []
             for k in (3, 4, 5):
-                w = leaf(net, f"conv{k}", "kernel").permute(2, 0, 1).unsqueeze(1)
-                b = leaf(net, f"conv{k}", "bias")
+                w = leaf(*pfx, net, f"conv{k}", "kernel").permute(2, 0, 1).unsqueeze(1)
+                b = leaf(*pfx, net, f"conv{k}", "bias")
                 c = F.relu(F.conv2d(x[:, None], w, b).squeeze(3))
                 outs.append(F.max_pool1d(c, c.shape[2]).squeeze(2))
             h = torch.cat(outs, 1)
-            return F.relu(h @ leaf(net, "embd", "kernel") + leaf(net, "embd", "bias"))
+            return F.relu(h @ leaf(*pfx, net, "embd", "kernel")
+                          + leaf(*pfx, net, "embd", "bias"))
 
-        feats = torch.cat(
+        h = torch.cat(
             [
-                lstm_maxpool("audio_feature", "netA"),
-                lstm_maxpool("visual_feature", "netV"),
-                textcnn("text_feature", "netL"),
+                lstm_maxpool(akey, "netA"),
+                lstm_maxpool(vkey, "netV"),
+                textcnn(tkey, "netL"),
             ],
             -1,
         )
-        h = feats
         for i in range(2):
-            h = torch.relu(h @ leaf("netC", f"fc{i}", "kernel")
-                           + leaf("netC", f"fc{i}", "bias"))
-        ref_logits = h @ leaf("netC", "fc_out", "kernel") + leaf("netC", "fc_out", "bias")
+            h = torch.relu(h @ leaf(*pfx, "netC", f"fc{i}", "kernel")
+                           + leaf(*pfx, "netC", f"fc{i}", "bias"))
+        logits = (h @ leaf(*pfx, "netC", "fc_out", "kernel")
+                  + leaf(*pfx, "netC", "fc_out", "bias"))
+        return logits, h
 
-        sel = np.asarray(batch["sample_mask"]) > 0
-        return F.cross_entropy(
-            ref_logits[torch.from_numpy(sel)],
-            torch.from_numpy(np.asarray(batch["label"])[sel]).long(),
-        )
+    return fwd
+
+
+def masked_ce_t(logits, batch):
+    sel = np.asarray(batch["sample_mask"]) > 0
+    return F.cross_entropy(
+        logits[torch.from_numpy(sel)],
+        torch.from_numpy(np.asarray(batch["label"])[sel]).long(),
+    )
+
+
+def mmin_ref_loss_factory(leaf, audio_dim=130, visual_dim=342):
+    """Masked-CE loss over one base net — the same math as
+    test_grad_parity_zoo.test_mmin_base_grad_parity.  lens is ignored
+    (utterance-level batches carry sample_mask instead)."""
+    fwd = mmin_base_fwd_factory(leaf, (), audio_dim, visual_dim)
+
+    def loss_fn(leaf, batch, lens):
+        logits, _feat = fwd(batch)
+        return masked_ce_t(logits, batch)
 
     return loss_fn
 
@@ -1161,3 +1178,112 @@ def test_mmin_miss_fullrun_equivalence():
     # first steps, step-for-step plateau/LR decisions (3 firings), ≥90%
     # prediction agreement — keep the default strictness.
     assert_runs_equivalent(hist, j_pred, t_pred, loss_rtol=0.3)
+
+
+# ------------------------------------------------------ MMIN-miss2 replica
+def mminmiss2_ref_loss_factory(leaf):
+    """Differentiable torch replica of mmin_miss2 (track_mm/mmin_miss2.py:
+    131-226): twin base nets under 'net'/'netB' in one param tree, loss
+    Lce + 4*Lmse(reverse_features, fusion_feature) + Lrce with NO
+    stop-gradient — gradients flow into both nets (:194-208)."""
+    fwd = mmin_base_fwd_factory(leaf, ("net",))
+    fwdB = mmin_base_fwd_factory(leaf, ("netB",))
+
+    def masked_mse_t(a, b, mask):
+        per = ((a - b) ** 2).mean(-1)
+        return (per * mask).sum() / torch.clamp(mask.sum(), min=1.0)
+
+    def loss_fn(leaf, batch, lens):
+        logits, feat = fwd(batch)
+        rlogits, rfeat = fwdB(
+            batch, "audio_feature_reverse", "visual_feature_reverse",
+            "text_feature_reverse",
+        )
+        tm = t_(np.asarray(batch["sample_mask"], np.float32))
+        return (masked_ce_t(logits, batch)
+                + 4.0 * masked_mse_t(rfeat, feat, tm)
+                + masked_ce_t(rlogits, batch))
+
+    return loss_fn
+
+
+@pytest.mark.slow
+def test_mmin_miss2_fullrun_equivalence():
+    """Full Adam run + eval + plateau for mmin_miss2 — the twin-net
+    feature-matching method (NOT the mmin_miss imagination AE): both nets
+    update jointly through the shared MSE and their own CE heads over a
+    complete training protocol."""
+    from erc_tpu.data.mmin import MMINBatcher, synthetic_mmin
+    from erc_tpu.models.mmin_miss import masked_mse
+    from erc_tpu.models.mmin_models import MMINMiss2Module
+    from erc_tpu.train import optim as optim_factory
+    from erc_tpu.train.trainer import masked_cross_entropy
+
+    n_classes, B = 4, 8
+    samples = synthetic_mmin(n_classes, "train", n_train=B * (N_BATCHES + 1))
+    # same feature-noise trick as the base/miss tests: keep the CE floor
+    # nonzero so plateau decisions compare meaningful numbers
+    g = np.random.default_rng(31)
+    for s in samples:
+        for k in ("audio_feature", "visual_feature", "text_feature"):
+            s[k] = (s[k] + 6.0 * g.normal(size=s[k].shape)).astype(np.float32)
+    batcher = MMINBatcher(max_audio_len=16, has_miss=True, pad_batch_to=B,
+                          rng=np.random.default_rng(7))
+    batches = [
+        (batcher(samples[i * B : (i + 1) * B]), [1] * B)
+        for i in range(N_BATCHES + 1)
+    ]
+    train, eval_batch = batches[:-1], batches[-1]
+
+    model = MMINMiss2Module(n_classes=n_classes)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        train[0][0], deterministic=True,
+    )
+    assert set(variables["params"]) == {"net", "netB"}
+
+    def jax_loss_fn(params, batch):
+        logits, fusion, rlogits, rfeat = model.apply(
+            {**variables, "params": params}, batch,
+            deterministic=True, with_reverse=True,
+        )
+        mask = jnp.asarray(batch["sample_mask"])
+        labels = jnp.asarray(batch["label"])
+        return (masked_cross_entropy(logits, labels, mask)
+                + 4.0 * masked_mse(rfeat, fusion, mask)
+                + masked_cross_entropy(rlogits, labels, mask))
+
+    def pred_logits_fn(params, batch):
+        logits, _ = model.apply({**variables, "params": params}, batch,
+                                deterministic=True)
+        return logits[:, None, :]
+
+    cfg = optim_factory.create_optim("Adam", lr=2e-4, weight_decay=0)
+    tx = optim_factory.build_optim(cfg)
+    leaf = LeafStore(jax.tree_util.tree_map(np.asarray, variables["params"]))
+    loss_fn = mminmiss2_ref_loss_factory(leaf)
+    with torch.enable_grad():  # materialize replica leaves
+        loss_fn(leaf, train[0][0], train[0][1])
+    topt = torch.optim.Adam(list(leaf.t.values()), lr=2e-4, weight_decay=0)
+
+    hist, params, _j_pred = run_full_training(
+        model, variables, tx, train, eval_batch, leaf, loss_fn, topt,
+        jax_loss_fn=jax_loss_fn, pred_logits_fn=pred_logits_fn,
+    )
+    # agreement over 24 utterances (eval + 2 train batches): the 8-sample
+    # eval batch quantizes the ≥90% agreement floor at 12.5% steps, so one
+    # borderline flip on a near-tied logit pair would fail a run whose
+    # losses and plateau decisions match to 4 decimals
+    t_params = _leafstore_to_tree(leaf, variables["params"])
+
+    def all_preds(ptree):
+        ps = []
+        for b, _lens in [eval_batch] + train[:2]:
+            lg, _ = model.apply({**variables, "params": ptree}, b,
+                                deterministic=True)
+            ps.append(np.argmax(np.asarray(lg), -1))
+        return np.concatenate(ps)
+
+    with torch.no_grad():
+        t_pred = all_preds(t_params)
+    assert_runs_equivalent(hist, all_preds(params), t_pred)

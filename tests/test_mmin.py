@@ -90,6 +90,42 @@ def test_mmin_miss_step(tmp_path):
         assert np.isfinite(float(np.asarray(mets[k]))), k
 
 
+def test_mmin_miss2_twin_net_step(tmp_path):
+    """mmin_miss2 is NOT a mmin_miss copy: twin MMINBase nets train jointly
+    (reference mmin_miss2.py:149-152) with Lce + 4*Lmse + Lrce and no
+    stop-gradient (:194-208); eval classifies with net alone (:165)."""
+    import os
+
+    os.environ["ERC_TPU_EXPROOT"] = str(tmp_path)
+    from erc_tpu.models.mmin_miss2 import MMINMiss2Params, MMINMiss2Trainer
+
+    p = MMINMiss2Params()
+    p.dataset = "synthetic-mmin-4"
+    p.max_audio_len = 32
+    p.iparams()
+    tr = MMINMiss2Trainer(p)
+    tr.initialize()
+    # both nets live in one param tree → the single optimizer is the
+    # reference's chain(model.parameters(), modelB.parameters())
+    assert set(tr.state.params) == {"net", "netB"}
+    netb_before = jax.tree_util.tree_map(np.asarray, tr.state.params["netB"])
+    mets = _one_step(tr, tmp_path)
+    for k in ("Lall", "Lce", "Lrce", "Lmse"):
+        assert np.isfinite(float(np.asarray(mets[k]))), k
+    # netB TRAINS (warm-start only, never frozen): params must move
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        tr.state.params["netB"], netb_before,
+    )
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+    # eval path works on reverse-less batches and classifies with net alone
+    batch = tr.example_batch(B=4)
+    batch = {k: v for k, v in batch.items()
+             if not k.endswith("_reverse") and k != "missing_type"}
+    logits = tr.to_logits({"params": tr.state.params}, batch)
+    assert logits.shape[-1] == p.n_classes
+
+
 def test_dgcnv2_smoke(tmp_path):
     import os
 

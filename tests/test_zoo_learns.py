@@ -113,6 +113,20 @@ def test_mmin_miss_learns(tmp_path):
     assert res["f1"] > 0.25 + 0.08, res["f1"]
 
 
+def test_mmin_miss2_learns(tmp_path):
+    from erc_tpu.models.mmin_miss2 import MMINMiss2Params, MMINMiss2Trainer
+
+    p = MMINMiss2Params()
+    p.dataset = "synthetic-mmin-4"
+    p.epoch = 3
+    p.train.batch_size = 32
+    p.test.batch_size = 32
+    p.optim.lr = 1e-3
+    _, res = _train_and_score(MMINMiss2Trainer, p, tmp_path)
+    # twin-net feature matching (mmin_miss2.py:194-208); same bar as miss
+    assert res["f1"] > 0.25 + 0.08, res["f1"]
+
+
 def test_dgcnv2_daily_learns(tmp_path):
     from erc_tpu.models.dgcnv2 import DGCNV2DailyParams, DGCNV2DailyTrainer
 
