@@ -48,6 +48,14 @@ class DGCNV2Params(MMBaseParams):
         self.wp = 10
         self.wf = 10
         self.hidden_size = 100
+        # LSTM/GRU base encoders only: the reference runs the biRNN on the
+        # raw padded batch with NO packing (``self.lstm(U)``,
+        # dgcnv2_models.py:160-163 and the Daily model :913-916), so its
+        # backward direction consumes padding zeros before the real tokens.
+        # 'packed' (default) masks the recurrence like torch packed
+        # sequences; 'unpacked' reproduces the reference's executed graph
+        # exactly (same knob and rationale as mmgcn.lstm_mode).
+        self.lstm_mode = self.choice("packed", "unpacked")
 
 
 ParamsType = DGCNV2Params
@@ -239,6 +247,7 @@ class DGCNV2Module(nn.Module):
     cnn_filters: int = 50
     cnn_kernel_sizes: tuple = (3, 4, 5)
     cnn_dropout: float = 0.5
+    lstm_mode: str = "packed"  # 'unpacked' = reference-exact padded biRNN
 
     @nn.compact
     def __call__(self, batch, deterministic: bool = True):
@@ -271,11 +280,15 @@ class DGCNV2Module(nn.Module):
             b = reverse_padded(b, mask)
             emotions = jnp.concatenate([f, b], -1)
         elif self.base_model in ("LSTM", "GRU"):
+            # 'unpacked': all-ones mask runs the recurrence over every
+            # padded step, reproducing the reference's pack-free biRNN
+            # (dgcnv2_models.py:160-163) — see DGCNV2Params.lstm_mode
+            rnn_mask = mask if self.lstm_mode == "packed" else jnp.ones_like(mask)
             emotions = BiRNN(
                 hidden_size=self.hidden_size, num_layers=2,
                 cell=self.base_model.lower(), bidirectional=True,
                 dropout=self.drop_rate, name="rnn",
-            )(x, mask, deterministic=deterministic)
+            )(x, rnn_mask, deterministic=deterministic)
         else:  # 'None'
             emotions = nn.Dense(2 * self.hidden_size, name="base_linear")(x)
 
@@ -366,6 +379,7 @@ class DGCNV2Trainer(Trainer):
             max_seq_len=int(params.max_seq_len),
             d_g=int(params.get("d_g", 150)),
             d_p=int(params.get("d_p", 150)),
+            lstm_mode=params.get("lstm_mode", "packed"),
         )
         self.tx = optim_factory.build_optim(params.optim)
         if params.get("loss_weights", True) and params.n_classes == 6:
@@ -404,6 +418,7 @@ class DGCNV2DailyTrainer(Trainer):
             embedding_dim=int(params.embedding_dim),
             d_g=int(params.get("d_g", 150)),
             d_p=int(params.get("d_p", 150)),
+            lstm_mode=params.get("lstm_mode", "packed"),
         )
         self.tx = optim_factory.build_optim(params.optim)
 

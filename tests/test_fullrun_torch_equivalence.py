@@ -688,7 +688,6 @@ def dgcnv2_ref_loss_factory(leaf, S, wp, wf, hidden, d_g, d_p):
     Every weight flows through the LeafStore (the nested GRU cells are
     explicit leaf matmuls, so no torch modules need sharing)."""
     from test_grad_parity_zoo import gru_t
-    from test_model_torch_parity import edge_perms, rel_id
 
     def drnn(prefix, U, qm):
         """DialogueRNN over one dialogue's valid prefix. U [ln, Dm],
@@ -735,65 +734,74 @@ def dgcnv2_ref_loss_factory(leaf, S, wp, wf, hidden, d_g, d_p):
             b = torch.flip(b, [0])
             em_list.append(torch.cat([f, b], -1))  # [ln, 2*hidden]
 
-        # MaskedEdgeAttention 'attn1': alpha[u, v] = softmax_v∈win(u) W[u]·em_v
-        W_sc = leaf("att_model", "scalar")
-        edges_u, edges_v, rels, norm_vals = [], [], [], []
-        off = 0
-        for d, ln in enumerate(lens):
-            emd = em_list[d]
-            wx = W_sc[:ln] @ emd.T  # [ln(u), ln(v)]
-            spk = spk_all[d]
-            probs = {
-                u: torch.softmax(
-                    wx[u, max(0, u - wp): min(ln - 1, u + wf) + 1], 0)
-                for u in range(ln)
-            }
-            for u, v in edge_perms(ln, wp, wf):
-                edges_u.append(u + off)
-                edges_v.append(v + off)
-                rels.append(rel_id(spk[u], spk[v], u, v, S))
-                norm_vals.append(probs[u][v - max(0, u - wp)])
-            off += ln
-
-        em_flat = torch.cat(em_list, 0)
-        N = em_flat.shape[0]
-        iu = torch.tensor(edges_u)
-        iv = torch.tensor(edges_v)
-        ir = torch.tensor(rels)
-        nr = torch.stack(norm_vals)
-        Wr = torch.einsum("rb,bde->rde", leaf("conv1", "att"),
-                          leaf("conv1", "basis"))
-        g = em_flat @ leaf("conv1", "root") + leaf("conv1", "bias")
-        msgs = nr[:, None] * torch.einsum("ed,edo->eo", em_flat[iu], Wr[ir])
-        g = g + torch.zeros(N, Wr.shape[-1]).index_add(0, iv, msgs)
-
-        agg = torch.zeros(N, g.shape[-1]).index_add(0, iv, g[iu])
-        g2 = (
-            agg @ leaf("conv2", "lin_rel", "kernel")
-            + leaf("conv2", "lin_rel", "bias")
-            + g @ leaf("conv2", "lin_root", "kernel")
-            + leaf("conv2", "lin_root", "bias")
-        )
-
-        em2 = torch.cat([em_flat, g2], -1)
-        # matchatt 'general2' per dialogue over valid nodes
-        rows = []
-        off = 0
-        for d, ln in enumerate(lens):
-            emd = em2[off : off + ln]
-            xq = emd @ leaf("matchatt_w").T + leaf("matchatt_b")
-            scores = torch.tanh(xq @ emd.T)
-            alpha = torch.softmax(scores, -1)
-            rows.append(alpha @ emd)
-            off += ln
-        att_em = torch.cat(rows, 0)
-        h = torch.relu(att_em @ leaf("linear", "kernel") + leaf("linear", "bias"))
-        ref_logits = h @ leaf("smax_fc", "kernel") + leaf("smax_fc", "bias")
-
+        ref_logits = _dgcnv2_graph_pipeline(leaf, em_list, lens, spk_all, S, wp, wf)
         labels = valid_rows(np.asarray(batch["label"])[..., None], lens)[:, 0]
         return F.cross_entropy(ref_logits, torch.from_numpy(labels).long())
 
     return loss_fn
+
+
+def _dgcnv2_graph_pipeline(leaf, em_list, lens, spk_all, S, wp, wf):
+    """The post-encoder dgcnv2 pipeline (MaskedEdgeAttention 'attn1' →
+    basis RGCN + GraphConv → matchatt 'general2' → classifier), shared by
+    the DialogueRNN and DailyDialog replicas.  Returns flattened
+    valid-node logits."""
+    from test_model_torch_parity import edge_perms, rel_id
+
+    # MaskedEdgeAttention 'attn1': alpha[u, v] = softmax_v∈win(u) W[u]·em_v
+    W_sc = leaf("att_model", "scalar")
+    edges_u, edges_v, rels, norm_vals = [], [], [], []
+    off = 0
+    for d, ln in enumerate(lens):
+        emd = em_list[d]
+        wx = W_sc[:ln] @ emd.T  # [ln(u), ln(v)]
+        spk = spk_all[d]
+        probs = {
+            u: torch.softmax(
+                wx[u, max(0, u - wp): min(ln - 1, u + wf) + 1], 0)
+            for u in range(ln)
+        }
+        for u, v in edge_perms(ln, wp, wf):
+            edges_u.append(u + off)
+            edges_v.append(v + off)
+            rels.append(rel_id(spk[u], spk[v], u, v, S))
+            norm_vals.append(probs[u][v - max(0, u - wp)])
+        off += ln
+
+    em_flat = torch.cat(em_list, 0)
+    N = em_flat.shape[0]
+    iu = torch.tensor(edges_u)
+    iv = torch.tensor(edges_v)
+    ir = torch.tensor(rels)
+    nr = torch.stack(norm_vals)
+    Wr = torch.einsum("rb,bde->rde", leaf("conv1", "att"),
+                      leaf("conv1", "basis"))
+    g = em_flat @ leaf("conv1", "root") + leaf("conv1", "bias")
+    msgs = nr[:, None] * torch.einsum("ed,edo->eo", em_flat[iu], Wr[ir])
+    g = g + torch.zeros(N, Wr.shape[-1]).index_add(0, iv, msgs)
+
+    agg = torch.zeros(N, g.shape[-1]).index_add(0, iv, g[iu])
+    g2 = (
+        agg @ leaf("conv2", "lin_rel", "kernel")
+        + leaf("conv2", "lin_rel", "bias")
+        + g @ leaf("conv2", "lin_root", "kernel")
+        + leaf("conv2", "lin_root", "bias")
+    )
+
+    em2 = torch.cat([em_flat, g2], -1)
+    # matchatt 'general2' per dialogue over valid nodes
+    rows = []
+    off = 0
+    for d, ln in enumerate(lens):
+        emd = em2[off : off + ln]
+        xq = emd @ leaf("matchatt_w").T + leaf("matchatt_b")
+        scores = torch.tanh(xq @ emd.T)
+        alpha = torch.softmax(scores, -1)
+        rows.append(alpha @ emd)
+        off += ln
+    att_em = torch.cat(rows, 0)
+    h = torch.relu(att_em @ leaf("linear", "kernel") + leaf("linear", "bias"))
+    return h @ leaf("smax_fc", "kernel") + leaf("smax_fc", "bias")
 
 
 @pytest.mark.slow
@@ -1287,3 +1295,150 @@ def test_mmin_miss2_fullrun_equivalence():
     with torch.no_grad():
         t_pred = all_preds(t_params)
     assert_runs_equivalent(hist, all_preds(params), t_pred)
+
+
+# ------------------------------------------------- DailyDialog (token) track
+def daily_proto_batches(n_classes=4, vocab=60, n_words=8, lens=(5, 8, 3),
+                        n_batches=7, seed=0, n_noise=0):
+    """Token dialogues whose labels are inferable from class-signature
+    token ranges — the TextCNN can actually learn them.  n_noise=0 keeps
+    the task easy enough that learning completes before the max-over-time
+    pooling's argmax switching drives the two stacks chaotically apart."""
+    from erc_tpu.models.dgcnv2 import DailyBatcher
+
+    batcher = DailyBatcher(n_words=n_words, max_len=max(lens))
+    span = (vocab - 4) // n_classes
+    out = []
+    for b in range(n_batches):
+        rng = np.random.default_rng(seed + b)
+        samples = []
+        for ln in lens:
+            label = rng.integers(0, n_classes, size=ln)
+            toks = [
+                np.concatenate([
+                    rng.integers(4 + int(y) * span, 4 + int(y) * span + span,
+                                 size=n_words - n_noise),
+                    rng.integers(1, vocab, size=n_noise),  # shared noise
+                ]).astype(np.int64).tolist()
+                for y in label
+            ]
+            samples.append({"tokens": toks, "label": label.tolist(),
+                            "speakers": rng.integers(0, 2, size=ln).tolist()})
+        out.append((batcher(samples), list(lens)))
+    return out
+
+
+def daily_ref_loss_factory(leaf, S, wp, wf, hidden, cnn_out,
+                           kernel_sizes=(3, 4, 5)):
+    """Differentiable torch replica of DialogueGCN_DailyModel
+    (dgcnv2_models.py:818-927): CNNFeatureExtractor (:776-816, embed →
+    VALID conv1d per K → relu → max-over-time → fc → relu, masked) → the
+    reference's PACK-FREE 2-layer biLSTM on the padded batch
+    (``self.lstm(U)``, :913-916 — padding zeros feed the backward
+    direction) → the shared dgcnv2 graph pipeline.  LSTM Parameters are
+    SHARED with the LeafStore; the jax side must run lstm_mode='unpacked'
+    to execute the same graph."""
+    from test_grad_parity_zoo import share_rnn
+
+    lstm = torch.nn.LSTM(cnn_out, hidden, num_layers=2, bidirectional=True,
+                         batch_first=True)
+    share_rnn(lstm, leaf, ("rnn",), layers=2, bidirectional=True)
+
+    def cnn(tok, mask):
+        B, L, W = tok.shape
+        emb = leaf("cnn_feat_extractor", "embedding", "embedding")[
+            torch.from_numpy(tok.reshape(-1, W)).long()
+        ]  # [BL, W, E]
+        emb = emb.transpose(1, 2)  # [BL, E, W]
+        pooled = []
+        for K in kernel_sizes:
+            w = leaf("cnn_feat_extractor", f"conv_{K}", "kernel").permute(2, 1, 0)
+            b = leaf("cnn_feat_extractor", f"conv_{K}", "bias")
+            c = F.relu(F.conv1d(emb, w, b))  # [BL, F, W-K+1]
+            pooled.append(c.max(dim=2).values)
+        h = torch.cat(pooled, 1)
+        h = F.relu(h @ leaf("cnn_feat_extractor", "fc", "kernel")
+                   + leaf("cnn_feat_extractor", "fc", "bias"))
+        return h.reshape(B, L, -1) * torch.from_numpy(mask)[..., None]
+
+    def loss_fn(leaf, batch, lens):
+        tok = np.asarray(batch["token_ids"])
+        mask = np.asarray(batch["attention_mask"], np.float32)
+        U = cnn(tok, mask)
+        em_all, _ = lstm(U)  # unpacked — reference-exact (incl. padding)
+        spk_all = np.asarray(batch["speaker_ids"])
+        em_list = [em_all[d, :ln] for d, ln in enumerate(lens)]
+        ref_logits = _dgcnv2_graph_pipeline(leaf, em_list, lens, spk_all,
+                                            S, wp, wf)
+        labels = valid_rows(np.asarray(batch["label"])[..., None], lens)[:, 0]
+        return F.cross_entropy(ref_logits, torch.from_numpy(labels).long())
+
+    return loss_fn
+
+
+@pytest.mark.slow
+def test_dgcnv2_daily_fullrun_equivalence():
+    """Full Adam run + eval + plateau for the DailyDialog track — token
+    TextCNN front end + the reference's pack-free biLSTM + graph pipeline
+    hold over a complete training protocol.  The 10th (and last) runnable
+    module family to get full-run torch equivalence."""
+    from erc_tpu.models.dgcnv2 import DGCNV2Module
+    from erc_tpu.train import optim as optim_factory
+
+    # calibration (measured): the token→CNN→biLSTM→graph path has a long
+    # warm-up, so this family runs 12 train batches/epoch (not the shared
+    # 6) at lr=5e-3 for 24 epochs — loss ratio 0.37 with the plateau
+    # firing near the eval floor; patience=4 survives the warm-up hover
+    n_classes, S, wp, wf = 4, 2, 2, 2
+    vocab, n_words, E, filters, cnn_out = 60, 8, 24, 12, 24
+    hidden, gh = 10, 12
+    data = daily_proto_batches(n_classes=n_classes, vocab=vocab,
+                               n_words=n_words, n_batches=13, seed=5)
+    train, eval_batch = data[:-1], data[-1]
+    L = np.asarray(train[0][0]["attention_mask"]).shape[1]
+    model = DGCNV2Module(
+        base_model="LSTM", input_size=cnn_out, hidden_size=hidden,
+        n_speakers=S, wp=wp, wf=wf, n_classes=n_classes, max_seq_len=L,
+        graph_hidden_size=gh, vocab_size=vocab, embedding_dim=E,
+        cnn_output_size=cnn_out, cnn_filters=filters,
+        lstm_mode="unpacked",
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        train[0][0], deterministic=True,
+    )
+    cfg = optim_factory.create_optim("Adam", lr=5e-3, weight_decay=0)
+    tx = optim_factory.build_optim(cfg)
+    leaf = LeafStore(jax.tree_util.tree_map(np.asarray, variables["params"]))
+    loss_fn = daily_ref_loss_factory(leaf, S, wp, wf, hidden, cnn_out)
+    with torch.enable_grad():  # materialize replica leaves
+        loss_fn(leaf, train[0][0], train[0][1])
+    topt = torch.optim.Adam(list(leaf.t.values()), lr=5e-3, weight_decay=0)
+
+    hist, params, j_pred = run_full_training(
+        model, variables, tx, train, eval_batch, leaf, loss_fn, topt,
+        plateau_kw=dict(patience=4), n_epochs=24,
+    )
+    with torch.no_grad():
+        t_params = _leafstore_to_tree(leaf, variables["params"])
+        t_logits = model.apply({**variables, "params": t_params},
+                               eval_batch[0], deterministic=True)
+    t_pred = np.argmax(valid_rows(np.asarray(t_logits), eval_batch[1]), -1)
+    # Family-specific assertions: max-over-time pooling switches its argmax
+    # as filters train, so f32 noise compounds chaotically well before the
+    # ~250 steps this deep token pipeline needs to converge (measured:
+    # tracking holds to ~1e-2 for ~60+ steps, then end-states drift 10-30%
+    # with BOTH sides converged).  Semantics equivalence is therefore
+    # asserted in the trackable regime (extended early window near-exact),
+    # and convergence asserted per-side; end-state equality is out of reach
+    # for any calibration of this family, unlike the feature tracks.
+    j, t = np.asarray(hist["j_loss"]), np.asarray(hist["t_loss"])
+    np.testing.assert_allclose(j[:3], t[:3], rtol=1e-3)
+    np.testing.assert_allclose(j[:36], t[:36], rtol=6e-2)
+    assert j[-3:].mean() < 0.7 * j[:3].mean(), (j[:3], j[-3:])
+    assert t[-3:].mean() < 0.7 * t[:3].mean(), (t[:3], t[-3:])
+    # both plateau controllers fired near the eval floor
+    assert hist["j_lr"][-1] < 0.9 * hist["j_lr"][0], hist["j_lr"]
+    assert hist["t_lr"][-1] < 0.9 * hist["t_lr"][0], hist["t_lr"]
+    agree = float(np.mean(j_pred == t_pred))
+    assert agree >= 0.8, f"prediction agreement {agree}"
