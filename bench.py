@@ -222,20 +222,35 @@ def bench_tpu(batch_size=32, max_len=96, steps=32, steps_per_call=8,
             st, groups[i % n_groups], keysets[i % n_calls]
         )
 
-    # analytic FLOPs of ONE train step from XLA's cost model
+    # analytic MXU FLOPs of ONE train step.  The jaxpr counter is the
+    # primary source: XLA's cost_analysis counts a scan/while BODY ONCE,
+    # ignoring trip count (tests/test_flops.py proves it), which
+    # undercuts every scan-heavy model here — MMGCN's 64-layer GCNII
+    # stack by ~8×, DAG-ERC's blockwise scan, the RNN recurrences.
     flops_per_step = None
     try:
         single = make_batches(batch_size, 1, max_len, seed=99, kind=kind, tr=tr)[0]
         sharded1 = meshlib.shard_batch(single, tr.mesh)
-        cost = (
-            jax.jit(tr._make_raw_train_step())
-            .lower(tr.state, sharded1, tr.rng.key("d", 0))
-            .compile()
-            .cost_analysis()
-        )
-        if cost:
-            c0 = cost[0] if isinstance(cost, (list, tuple)) else cost
-            flops_per_step = float(c0.get("flops", 0.0)) or None
+        step_args = (tr.state, sharded1, tr.rng.key("d", 0))
+        try:
+            from erc_tpu.core.flops import mxu_flops
+
+            flops_per_step = (
+                mxu_flops(tr._make_raw_train_step(), *step_args)["flops"]
+                or None
+            )
+        except Exception:
+            pass
+        if flops_per_step is None:  # fallback: XLA's (scan-undercounted)
+            cost = (
+                jax.jit(tr._make_raw_train_step())
+                .lower(*step_args)
+                .compile()
+                .cost_analysis()
+            )
+            if cost:
+                c0 = cost[0] if isinstance(cost, (list, tuple)) else cost
+                flops_per_step = float(c0.get("flops", 0.0)) or None
     except Exception:
         pass
 
@@ -406,11 +421,17 @@ def run_matrix(args):
         )
     lines += [
         "",
-        "MFU = XLA cost-analysis FLOPs of one jitted train step × steps/s ÷ "
-        "bf16 peak of the chip.  ERC models are tiny (≤10M params, L≤96), "
-        "so steady-state is dispatch/HBM-bound, not MXU-bound — MFU is "
-        "reported for honesty, not as the optimization target; "
-        "dialogues/s/chip is the product metric.",
+        "MFU = jaxpr-counted MXU FLOPs (dot+conv, incl. backward and "
+        "remat recompute — `erc_tpu.core.flops`) of one train step × "
+        "steps/s ÷ bf16 peak of the chip.  XLA's cost_analysis is NOT "
+        "used: it counts a scan/while body once, ignoring trip count "
+        "(tests/test_flops.py), which undercounted every scan-heavy model "
+        "here (MMGCN's 64-layer GCNII by ~7×).  ERC models are tiny "
+        "(≤10M params, L≤96), so steady-state is dispatch/HBM-bound, not "
+        "MXU-bound — MFU is reported for honesty, not as the optimization "
+        "target; dialogues/s/chip is the product metric.  f32 rows pay "
+        "the MXU's f32-emulation rate (~1/4 of bf16 peak), so e.g. "
+        "MMGCN-f32 at ~19% of bf16 peak is running near its f32 floor.",
         "",
         "Timing methodology: the tunnel's `block_until_ready` can return "
         "before remote execution completes and `device_put` uploads "

@@ -56,8 +56,12 @@ class MMGCNParams(MMBaseParams):
         # the support matmul split landed, the forward recompute is cheaper
         # than streaming the per-layer residuals the no-remat form saves
         self.gcn_remat = self.choice("full", "off", "dots")
-        # (1 115 vs 1 446 dia/s — ops/gnn.GCNIIStack note); the scan
-        # chunking itself is always on
+        # layers per scan trip (remat granularity = one trip; chunking
+        # itself is always on).  Measured f32 B=32 on v5e: 8 is the winner
+        # (see BENCH_MATRIX MMGCN section); exposed for sweeps because the
+        # fwd-recompute vs trip-overhead balance moves with compute_dtype
+        # and batch
+        self.gcn_chunk = 8
         # 'packed' (default) masks the text biLSTM like torch packed
         # sequences; 'unpacked' reproduces the reference's executed graph
         # exactly — its lstm_l runs on the padded batch (mmgcn.py:69,115) so
@@ -93,6 +97,7 @@ class MMGCNModule(nn.Module):
     use_speaker: bool = True
     adj_impl: str = "dense"
     gcn_remat: object = 'full'  # 'off'/False | 'full' | 'dots'
+    gcn_chunk: int = 8  # layers per scan trip (= remat granularity)
     lstm_mode: str = "packed"  # 'unpacked' = reference-exact padded biLSTM
 
     @nn.compact
@@ -147,7 +152,7 @@ class MMGCNModule(nn.Module):
                 nlayers=self.gcn_layers, nhidden=self.graph_hidden_size,
                 lamda=0.5, alpha=0.1,
                 dropout=self.drop_rate if not deterministic else 0.0,
-                remat=self.gcn_remat, name="gcnii",
+                remat=self.gcn_remat, chunk=self.gcn_chunk, name="gcnii",
             )(h, intra, cross, deterministic=deterministic)
             h = drop(h)
             h = jnp.concatenate([x, h], -1)  # [B, M, L, n_dim + hidden]
@@ -164,7 +169,7 @@ class MMGCNModule(nn.Module):
                 nlayers=self.gcn_layers, nhidden=self.graph_hidden_size,
                 lamda=0.5, alpha=0.1,
                 dropout=self.drop_rate if not deterministic else 0.0,
-                remat=self.gcn_remat, name="gcnii",
+                remat=self.gcn_remat, chunk=self.gcn_chunk, name="gcnii",
             )(h, adj, deterministic=deterministic)
             h = drop(h)
             h = jnp.concatenate([x, h], -1)  # use_residue → [B, M*L, n_dim + hidden]
@@ -192,6 +197,7 @@ class MMGCNTrainer(Trainer):
             drop_rate=params.drop_rate,
             adj_impl=params.adj_impl,
             gcn_remat=params.get("gcn_remat", "full"),
+            gcn_chunk=int(params.get("gcn_chunk", 8)),
             lstm_mode=params.get("lstm_mode", "packed"),
         )
         self.tx = optim_factory.build_optim(params.optim)

@@ -1,12 +1,16 @@
-"""Op-level xplane probe of the COGMEN train step (the flagship/headline
-config: B=32, L=96, dense graph, chained encoder).
+"""Op-level xplane probe of any zoo model's train step.
 
 Same methodology as the round-4 MMGCN/DAG-ERC rebuilds: trace a few
 single-step calls with jax.profiler, parse the device plane with
 jax.profiler.ProfileData, and rank op groups by self-time so optimization
 aims at the measured spend, not a guessed roofline.
 
-Usage:  python scripts/probe_cogmen.py [--steps=8] [--batch_size=32]
+Usage:  python scripts/probe_step.py [--model=cogmen] [--steps=8]
+            [--batch_size=32] [--max_len=96] [--set key=value ...]
+
+The COGMEN run of this probe produced the "COGMEN B=32 ceiling" section
+of BENCH_MATRIX.md (device 4.5 ms/step, ~7.1k dia/s ceiling, tunnel
+dispatch the rest).
 """
 import re
 import sys
@@ -21,11 +25,11 @@ def group_of(name: str) -> str:
     """Bucket an XLA op name into a coarse group for the spend table."""
     n = name.lower()
     for pat, g in [
+        (r"rng|threefry|philox", "rng"),
         (r"fusion", "fusion"),
         (r"dot|conv|matmul|gemm", "matmul"),
-        (r"rng|threefry|philox|bitcast-convert", "rng"),
         (r"dynamic-update-slice", "dus(save)"),
-        (r"dynamic-slice", "ds(read)"),
+        (r"dynamic-slice|slice-start", "ds/prefetch"),
         (r"copy|transpose|bitcast", "layout"),
         (r"reduce", "reduce"),
         (r"scatter|gather", "scatter/gather"),
@@ -40,28 +44,47 @@ def group_of(name: str) -> str:
 def main():
     import jax
 
-    kw = {"steps": 8, "batch_size": 32, "max_len": 96}
-    for a in sys.argv[1:]:
+    kw = {"steps": 8, "batch_size": 32, "max_len": 96, "model": "cogmen"}
+    overrides = []
+    it = iter(sys.argv[1:])
+    for a in it:
+        if a == "--set":
+            overrides.append(next(it))
+            continue
         k, v = a.lstrip("-").split("=")
-        kw[k] = int(v)
+        if k == "set":
+            overrides.append(v)
+        elif k == "model":
+            kw[k] = v
+        else:
+            kw[k] = int(v)
+
+    import importlib
 
     import bench
 
     from erc_tpu.parallel import mesh as meshlib
 
-    # Build exactly the bench parity config but steps_per_call=1 so the
-    # trace shows ONE train step per dispatch.
-    import importlib
-
-    mod_name, pcls, tcls, dataset, kind = bench.MODEL_REGISTRY["cogmen"]
+    mod_name, pcls, tcls, dataset, kind = bench.MODEL_REGISTRY[kw["model"]]
     mod = importlib.import_module(mod_name)
     p = getattr(mod, pcls)()
     p.dataset = dataset
     p.train.batch_size = kw["batch_size"]
     p.max_seq_len = kw["max_len"]
-    p.graph_impl = "dense"
-    p.encoder_mode = "chained"
-    p.steps_per_call = 1
+    if kw["model"] == "cogmen":
+        p.encoder_mode = "chained"  # match the bench's honest config
+    p.steps_per_call = 1  # ONE train step per dispatch in the trace
+    for kv in overrides:
+        k, v = kv.split("=", 1)
+        cur = p.get(k)
+        if isinstance(cur, bool):
+            p[k] = v.lower() in ("1", "true", "on", "yes")
+        elif isinstance(cur, int):
+            p[k] = int(v)
+        elif isinstance(cur, float):
+            p[k] = float(v)
+        else:
+            p[k] = v
     p.iparams()
     tr = getattr(mod, tcls)(p)
     tr.initialize()
@@ -84,7 +107,7 @@ def main():
     wall = (time.perf_counter() - t0) / kw["steps"]
     print(f"wall/step: {wall*1e3:.2f} ms  ({kw['batch_size']/wall:.0f} dia/s)")
 
-    tmp = tempfile.mkdtemp(prefix="cogmen_trace_")
+    tmp = tempfile.mkdtemp(prefix=f"{kw['model']}_trace_")
     with jax.profiler.trace(tmp):
         for i in range(kw["steps"]):
             state, mets = tr._train_step_fn(
@@ -95,31 +118,26 @@ def main():
         open(_find_xplane(tmp), "rb").read())
     op_self = defaultdict(float)
     op_count = defaultdict(int)
-    plane_names = []
     for plane in pd.planes:
-        plane_names.append(plane.name)
         if "TPU" not in plane.name and "/device" not in plane.name.lower():
             continue
         for line in plane.lines:
-            # XLA op lines carry per-op events; durations in ns
-            for ev in line.events:
-                name = ev.name
-                dur = ev.duration_ns
-                op_self[name] += dur
-                op_count[name] += 1
-    print("planes:", plane_names)
+            for ev in line.events:  # durations in ns
+                op_self[ev.name] += ev.duration_ns
+                op_count[ev.name] += 1
 
     grp = defaultdict(float)
     for name, ns in op_self.items():
         grp[group_of(name)] += ns
     total = sum(grp.values())
     print(f"\ntraced device time: {total/1e6:.2f} ms over {kw['steps']} steps "
-          f"({total/1e6/kw['steps']:.2f} ms/step)")
+          f"({total/1e6/kw['steps']:.2f} ms/step; includes overlapped async "
+          "+ parent rollups — ratios matter, not the sum)")
     print("\n-- spend by group --")
     for g, ns in sorted(grp.items(), key=lambda kv: -kv[1]):
         print(f"{g:>16}: {ns/1e6:8.2f} ms  {100*ns/total:5.1f}%")
-    print("\n-- top 25 ops by self time --")
-    for name, ns in sorted(op_self.items(), key=lambda kv: -kv[1])[:25]:
+    print("\n-- top 30 ops by self time --")
+    for name, ns in sorted(op_self.items(), key=lambda kv: -kv[1])[:30]:
         print(f"{ns/1e6:8.2f} ms  x{op_count[name]:<5} {name[:110]}")
 
 

@@ -1,0 +1,115 @@
+"""erc_tpu.core.flops — jaxpr MXU-FLOP counter.
+
+The motivating defect (verified here): XLA's cost_analysis counts a
+scan/while body ONCE, ignoring trip count, so scan-heavy steps get
+undercounted FLOPs/MFU.  The jaxpr counter must (a) match XLA on
+scan-free graphs, (b) scale linearly with scan length, (c) include AD
+backward and remat-recompute FLOPs.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from erc_tpu.core.flops import mxu_flops
+
+
+def test_plain_matmul_matches_analytic():
+    a = jnp.zeros((64, 128))
+    b = jnp.zeros((128, 32))
+    r = mxu_flops(lambda x, y: x @ y, a, b)
+    assert r["flops"] == 2 * 64 * 128 * 32
+    assert not r["lower_bound"]
+
+
+def test_batched_dot_general():
+    a = jnp.zeros((4, 64, 128))
+    b = jnp.zeros((4, 128, 32))
+    r = mxu_flops(lambda x, y: jnp.einsum("bij,bjk->bik", x, y), a, b)
+    assert r["flops"] == 2 * 4 * 64 * 128 * 32
+
+
+def test_conv_flops():
+    x = jnp.zeros((2, 8, 8, 3))  # NHWC
+    k = jnp.zeros((3, 3, 3, 16))  # HWIO
+    f = lambda x, k: jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    r = mxu_flops(f, x, k)
+    assert r["flops"] == 2 * (2 * 8 * 8 * 16) * (3 * 3) * 3
+
+
+def test_scan_multiplies_by_length_where_xla_does_not():
+    h = jnp.zeros((64, 64))
+
+    def run(T):
+        Ws = jnp.zeros((T, 64, 64))
+
+        def f(h, Ws):
+            return jax.lax.scan(lambda c, W: (c @ W, None), h, Ws)[0].sum()
+
+        jx = mxu_flops(f, h, Ws)["flops"]
+        cost = jax.jit(f).lower(h, Ws).compile().cost_analysis()
+        c0 = cost[0] if isinstance(cost, (list, tuple)) else cost
+        return jx, float(c0.get("flops", 0.0))
+
+    jx1, xla1 = run(1)
+    jx16, xla16 = run(16)
+    assert jx1 == 2 * 64 * 64 * 64
+    assert jx16 == 16 * jx1  # the counter scales with trip count
+    # ...and XLA demonstrably does not (the defect): its count is flat in
+    # T up to a couple of loop-counter flops
+    assert abs(xla16 - xla1) < 100
+
+
+def test_grad_includes_backward_and_remat_recompute():
+    W = jnp.zeros((32, 32))
+    x = jnp.zeros((8, 32))
+
+    fwd = lambda W: (x @ W).sum()
+    base = mxu_flops(fwd, W)["flops"]
+    g = mxu_flops(jax.grad(fwd), W)["flops"]
+    assert g >= base  # backward adds dW matmul
+
+    r_fwd = jax.checkpoint(lambda W: jnp.tanh(x @ W))
+    loss = lambda W: r_fwd(W).sum()
+    g_plain = mxu_flops(jax.grad(lambda W: jnp.tanh(x @ W).sum()), W)["flops"]
+    g_remat = mxu_flops(jax.grad(loss), W)["flops"]
+    assert g_remat >= g_plain  # recompute counted
+
+
+def test_cond_takes_max_branch():
+    x = jnp.zeros((16, 16))
+
+    def f(x):
+        return jax.lax.cond(
+            x[0, 0] > 0,
+            lambda x: x @ x,          # 2*16^3
+            lambda x: x + 1.0,        # 0 MXU flops
+            x,
+        ).sum()
+
+    assert mxu_flops(f, x)["flops"] == 2 * 16**3
+
+
+def test_mmgcn_step_flops_exceed_xla_count():
+    """The production case: the 64-layer GCNII scan must yield ~trip-count
+    more FLOPs than XLA's while-body-once number."""
+    from erc_tpu.ops.gnn import GCNIIStack
+
+    B, N, D, L = 2, 24, 16, 16
+    m = GCNIIStack(nlayers=L, nhidden=D, chunk=4)
+    x = jnp.zeros((B, N, D))
+    adj = jnp.zeros((B, N, N))
+    params = m.init(jax.random.PRNGKey(0), x, adj)
+
+    def step(params):
+        return m.apply(params, x, adj).sum()
+
+    jx = mxu_flops(step, params)["flops"]
+    per_layer = 2 * B * N * N * D + 2 * B * N * D * D  # agg + support W1
+    assert jx >= L * per_layer  # all layers counted (h0-half adds more)
+
+    cost = jax.jit(step).lower(params).compile().cost_analysis()
+    c0 = cost[0] if isinstance(cost, (list, tuple)) else cost
+    xla = float(c0.get("flops", 0.0))
+    if xla:  # CPU backend reports flops; guard for backends that don't
+        assert jx > 2.5 * xla  # 4 trips → ~4× undercount in XLA's number
