@@ -377,7 +377,7 @@ def run_matrix(args):
     ] + [
         ("cogmen", "dense", 256, "dense", "max-throughput B=256"),
         ("dagerc", None, 128, "-", "max-throughput B=128"),
-        ("mmgcn", "structured", 64, "structured", "max-throughput B=64"),
+        ("mmgcn", "dense", 64, "dense", "max-throughput B=64"),
     ]
     for model, impl, bs, label, note in runs:
         if model == "mmin" and not note:

@@ -209,13 +209,14 @@ class GCNIIStack(nn.Module):
     alpha: float = 0.1
     dropout: float = 0.0
     remat: object = False  # False | True/'full' | 'dots' (see _maybe_remat)
-    # optional CHUNKED remat (jax.checkpoint around a
-    # ``chunk``-layer trip body).  Measured v5e (B=32, L=96): per-layer
-    # remat (r2) and chunked remat (r3: 1 115 vs 1 446 dia/s) both lose —
-    # the recompute costs more than the saved residual traffic at these
-    # sizes — so it stays off; the chunking itself is kept (fewer scan
-    # trips).  Flip on via --gcn_remat for memory-constrained configs.
-    chunk: int = 8
+    # CHUNKED remat (jax.checkpoint around the ``chunk``-layer trip body).
+    # History (v5e, B=32, L=96): in r3 remat lost (1 115 vs 1 446 dia/s —
+    # recompute cost more than the saved residual traffic); after the r4
+    # support-split + rbg-dropout restructure the trip got cheap enough
+    # that 'full' WINS (off 1 684 / full 1 856 / dots 1 110 dia/s) and is
+    # now MMGCN's default (models/mmgcn.py gcn_remat='full').  This class
+    # keeps remat=False as the neutral library default; callers pick.
+    chunk: int = 8  # layers per scan trip (= remat granularity)
 
     @nn.compact
     def __call__(self, x, adj, deterministic: bool = True):
