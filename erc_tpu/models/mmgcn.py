@@ -139,10 +139,18 @@ class MMGCNModule(nn.Module):
         order = [m for m in "avt" if m in self.modals]  # [a, v, l] order (ref)
         flist = [feats[m] for m in order]
 
+        # adjacency: arccos near ±1 is precision-sensitive, so build it in
+        # f32; aggregate in the compute dtype — a mixed f32-adj × bf16-h
+        # einsum silently runs all 64 aggregation matmuls at the MXU's
+        # f32-emulation rate (xplane-measured: the bf16 step's top spend)
+        flist32 = [f.astype(jnp.float32) for f in flist]
+        cdtype = flist[0].dtype
+
         if self.adj_impl == "structured":
             # block-sparse big adjacency: M dense blocks + diagonal cross
             # blocks (3× fewer aggregation FLOPs; numerically identical)
-            intra, cross = graphs.mmgcn_structured_adjacency(flist, mask)
+            intra, cross = graphs.mmgcn_structured_adjacency(flist32, mask)
+            intra, cross = intra.astype(cdtype), cross.astype(cdtype)
             x = jnp.stack(flist, axis=1)  # [B, M, L, n_dim]
             x = drop(x)
             h = nn.relu(nn.Dense(self.graph_hidden_size, name="fc0")(x))
@@ -159,7 +167,7 @@ class MMGCNModule(nn.Module):
             B, M, L, C = h.shape
             feat = jnp.moveaxis(h, 1, 2).reshape(B, L, M * C)
         else:
-            adj = graphs.mmgcn_big_adjacency(flist, mask)  # [B, M*L, M*L]
+            adj = graphs.mmgcn_big_adjacency(flist32, mask).astype(cdtype)
             x = jnp.concatenate(flist, axis=1)  # [B, M*L, n_dim]
 
             # GCNII_lyc (mmgcn_models.py:373-394): drop → fc0+relu → convs → drop

@@ -242,6 +242,10 @@ class GCNIIStack(nn.Module):
         # per-layer [·, 400]-concat materialization disappears entirely.
         def layer(h, W1, b2, theta, key):
             if not deterministic and self.dropout > 0:
+                # pred+select, deliberately: a multiplicative bf16 mask
+                # (compare→convert→mul) was measured SLOWER (2 383 vs
+                # 2 677 dia/s bf16 B=32) despite the pred copy traffic in
+                # the xplane trace — the select fuses better here
                 mask = jax.random.bernoulli(key, keep, h.shape)
                 h = jnp.where(mask, h / keep, 0.0)
             hi = jnp.einsum(
