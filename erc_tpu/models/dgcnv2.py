@@ -252,6 +252,11 @@ class DGCNV2Module(nn.Module):
     @nn.compact
     def __call__(self, batch, deterministic: bool = True):
         if self.vocab_size:
+            # NOT remat'd, deliberately: wrapping this in nn.remat was
+            # measured SLOWER (2 452 vs 2 816 dia/s, B=32) — unlike the
+            # DAG-ERC/MMGCN scan bodies, the recompute here re-pays the
+            # [B·L·W] embedding gather, which the xplane trace shows is
+            # the expensive part (f32[vocab,E] table traffic)
             x = CNNFeatureExtractor(
                 self.vocab_size, self.embedding_dim, self.cnn_output_size,
                 self.cnn_filters, self.cnn_kernel_sizes, self.cnn_dropout,
