@@ -378,6 +378,7 @@ def run_matrix(args):
         ("cogmen", "dense", 256, "dense", "max-throughput B=256"),
         ("dagerc", None, 128, "-", "max-throughput B=128"),
         ("mmgcn", "dense", 64, "dense", "max-throughput B=64"),
+        ("cim", None, 128, "-", "max-throughput B=128"),
     ]
     for model, impl, bs, label, note in runs:
         if model == "mmin" and not note:
