@@ -10,6 +10,7 @@
     python -m erc_tpu.cli clone <url> [alias]  # git clone + init
     python -m erc_tpu.cli archive <commit> <out.zip>       # export a run snapshot
     python -m erc_tpu.cli warm <module> [dataset] [bs] [L] # precompile steps
+    python -m erc_tpu.cli checkdata [dataset ...]          # validate a feature-dump mount
 """
 
 from __future__ import annotations
@@ -35,6 +36,66 @@ def _init_repo(path: str) -> str:
                 {"exproot": None, "data_root": None, "git_snapshot": True}, f, indent=2
             )
     return os.path.abspath(path)
+
+
+# the canonical real-data parity datasets (README "Real datasets"): one
+# row per distinct on-disk dump format the readers consume
+_CHECKDATA_DEFAULTS = (
+    "iemocap-cogmen-4",
+    "iemocap-cogmen-6",
+    "meld-mmgcn-7",
+    "mosei-sent-sbert-2",
+    "mosei-cim-2",
+    "iemocap-mmin-4",
+)
+
+
+def _checkdata(names) -> int:
+    """Validate an ERC_TPU_DATA_ROOT mount by loading each dataset through
+    the REAL reader stack (no duplicated layout knowledge): resolve the
+    root, read every split the registry says exists, and report sample
+    counts + feature dims, or the precise missing path / parse error.
+    Returns the number of failures."""
+    from erc_tpu.data.registry import dataset_has_val, get_root, pick_datas
+
+    failures = 0
+    for name in names:
+        try:
+            root = get_root(name)
+        except KeyError:
+            print(f"{name:36s} NO ROOT — unknown corpus "
+                  f"{name.split('-')[0]!r} (set ERC_TPU_DATA_ROOT or "
+                  ".erc_tpurc.json data_root)")
+            failures += 1
+            continue
+        splits = ["train", "test"] + (["val"] if dataset_has_val(name) else [])
+        parts = []
+        for split in splits:
+            try:
+                samples = pick_datas(root, name, split=split)
+            except FileNotFoundError as e:
+                msg = e.filename or str(e).splitlines()[0]
+                parts.append(f"{split}: MISSING {msg}")
+                failures += 1
+                continue
+            except Exception as e:  # corrupt/mislaid dump: show the parse error
+                msg = str(e).splitlines()[0][:160]
+                parts.append(f"{split}: ERROR {type(e).__name__}: {msg}")
+                failures += 1
+                continue
+            dims = ""
+            if samples:
+                s0 = samples[0]
+                shapes = {
+                    k: "x".join(map(str, v.shape))
+                    for k, v in sorted(s0.items())
+                    if hasattr(v, "shape") and getattr(v, "ndim", 0) > 0
+                }
+                dims = " " + ",".join(f"{k}={v}" for k, v in shapes.items())
+            parts.append(f"{split}: {len(samples)}{dims}")
+        print(f"{name:36s} " + " | ".join(parts))
+    print("OK" if failures == 0 else f"{failures} FAILURE(S)")
+    return failures
 
 
 def _extract_test(exp: str, test: str, output=None) -> str:
@@ -130,6 +191,10 @@ def main(argv=None):
         path = os.path.join(exproot(), "experiment", argv[1], argv[2], ".stop")
         open(path, "w").close()
         print(f"created {path}")
+    elif cmd == "checkdata":
+        names = argv[1:] or _CHECKDATA_DEFAULTS
+        if _checkdata(names):
+            sys.exit(1)
     else:
         print(__doc__)
         sys.exit(1)

@@ -331,3 +331,34 @@ def test_synthetic_names_dims_agree_with_grammar():
 
     with pytest.raises(ValueError, match="unrecognized synthetic"):
         pick_datas("", "synthetic-mmgcn-7", split="train")
+
+
+def test_cli_checkdata(tmp_path, monkeypatch, capsys):
+    """`python -m erc_tpu.cli checkdata` validates a feature-dump mount
+    through the real reader stack: ok rows report split sizes + feature
+    dims, absent dumps report the precise missing path, and the exit
+    status distinguishes the two (the day-the-dumps-arrive diagnostic)."""
+    from erc_tpu import cli
+
+    data_root = tmp_path / "data"
+    _mk_iemocap(str(data_root / "iemocap"), n_dial=6)
+    monkeypatch.setenv("ERC_TPU_DATA_ROOT", str(data_root))
+
+    # present dump: zero failures, row shows counts + dims
+    assert cli._checkdata(["iemocap-cogmen-6"]) == 0
+    out = capsys.readouterr().out
+    assert "train: 2" in out and "test: 4" in out and "text=" in out
+
+    # absent dump: both splits fail with the missing path named
+    assert cli._checkdata(["meld-mmgcn-7"]) == 2
+    out = capsys.readouterr().out
+    assert "MISSING" in out and "MELD_features_raw.pkl" in out
+
+    # unknown corpus: no root
+    assert cli._checkdata(["nosuchcorpus-x-4"]) == 1
+    out = capsys.readouterr().out
+    assert "NO ROOT" in out
+
+    # main() exit code: nonzero when a dataset is missing
+    with pytest.raises(SystemExit):
+        cli.main(["checkdata", "meld-mmgcn-7"])
