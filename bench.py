@@ -277,15 +277,32 @@ def bench_tpu(batch_size=32, max_len=96, steps=32, steps_per_call=8,
 
     eval_dps = None
     if with_eval:
-        ev_batches = [meshlib.shard_batch(b, tr.mesh)
-                      for b in make_batches(batch_size, max(n_calls, 4), max_len, seed=7, kind=kind, tr=tr)]
-        _force(ev_batches)
-        logits = tr._eval_fn(state, ev_batches[0])
-        _force(logits)
-        t0 = time.perf_counter()
-        outs = [tr._eval_fn(state, b) for b in ev_batches]
-        _force(outs[-1])
-        eval_dps = batch_size * len(ev_batches) / (time.perf_counter() - t0)
+        raw_ev = make_batches(batch_size, max(n_calls, 4), max_len, seed=7, kind=kind, tr=tr)
+        if steps_per_call > 1:
+            # the trainer's eval loop scans steps_per_call batches per
+            # dispatch (_multi_eval_fn) — measure the same product path
+            from erc_tpu.data.loader import stack_batches
+
+            ev_stack = meshlib.shard_batch(
+                stack_batches(raw_ev), tr.mesh, scan_dim=True
+            )
+            _force(ev_stack)
+            _force(tr._multi_eval_fn(state, ev_stack))
+            reps = 4
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                outs = tr._multi_eval_fn(state, ev_stack)
+            _force(outs)
+            eval_dps = batch_size * len(raw_ev) * reps / (time.perf_counter() - t0)
+        else:
+            ev_batches = [meshlib.shard_batch(b, tr.mesh) for b in raw_ev]
+            _force(ev_batches)
+            logits = tr._eval_fn(state, ev_batches[0])
+            _force(logits)
+            t0 = time.perf_counter()
+            outs = [tr._eval_fn(state, b) for b in ev_batches]
+            _force(outs[-1])
+            eval_dps = batch_size * len(ev_batches) / (time.perf_counter() - t0)
 
     return {
         "train_dps": train_dps,

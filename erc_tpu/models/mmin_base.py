@@ -127,7 +127,9 @@ class MMINBaseTrainer(Trainer):
             ev = {"params": state.ema_params, **state.model_state}
             return raw, self.to_logits(ev, batch)
 
-        self._eval_fn = jax.jit(eval_step_ema)
+        # through the installer so the scanned multi-eval path (K batches
+        # per dispatch) also returns the EMA pair
+        self._install_eval_step(eval_step_ema)
 
     def initialize(self):
         super().initialize()

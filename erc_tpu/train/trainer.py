@@ -284,6 +284,27 @@ class Trainer:
 
         return train_step
 
+    def _install_eval_step(self, eval_step):
+        """Jit both eval entry points from ONE single-batch step function:
+        `_eval_fn` (one dispatch per batch) and `_multi_eval_fn` (K batches
+        scanned per dispatch — eval compute is tiny while a tunnel-attached
+        host pays ~8 ms dispatch per call, so steps_per_call amortizes eval
+        exactly like train; logits come back stacked [K, ...] and are
+        fetched in one round-trip).  Subclasses that replace the eval step
+        (e.g. mmin's EMA logit pair) MUST install through here so the
+        scanned path scans the same step."""
+        self._eval_fn = jax.jit(eval_step)
+
+        def multi_eval(state: TrainState, stacked_batches):
+            def body(carry, batch_k):
+                return carry, eval_step(state, batch_k)
+
+            # state is a scan constant; no donation — eval must not
+            # consume the live TrainState
+            return jax.lax.scan(body, None, stacked_batches)[1]
+
+        self._multi_eval_fn = jax.jit(multi_eval)
+
     def _build_step_fns(self):
         def eval_step(state: TrainState, batch):
             variables = {"params": state.params, **state.model_state}
@@ -291,7 +312,7 @@ class Trainer:
 
         raw = self._make_raw_train_step()
         self._train_step_fn = jax.jit(raw, donate_argnums=0)
-        self._eval_fn = jax.jit(eval_step)
+        self._install_eval_step(eval_step)
 
         # multi-step: scan K steps inside one dispatch.  At ERC model sizes
         # a step is ~1 ms of compute, so per-dispatch host latency dominates
@@ -351,12 +372,26 @@ class Trainer:
         return loader
 
     def _pipeline_eval(self, loader):
-        if self.params.get("prefetch", True):
+        """Mirror of _pipeline_train for the forward-only stages: the same
+        steps_per_call grouping feeds the multi-eval scan (K batches per
+        dispatch), and the producer thread stacks + places off the loop."""
+        p = self.params
+        spc = max(int(p.get("steps_per_call", 1)), 1)
+        if spc > 1:
+            from erc_tpu.data.loader import GroupedLoader
+
+            loader = GroupedLoader(loader, spc)
+        if p.get("prefetch", True):
             from erc_tpu.data.loader import PrefetchLoader
 
-            return PrefetchLoader(
-                loader, place_fn=lambda b: meshlib.shard_batch(b, self.mesh)
-            )
+            if spc > 1:
+                place = lambda item: (
+                    meshlib.shard_batch(item[0], self.mesh, scan_dim=item[1] > 1),
+                    item[1],
+                )
+            else:
+                place = lambda b: meshlib.shard_batch(b, self.mesh)
+            loader = PrefetchLoader(loader, place_fn=place)
         return loader
 
     # ----------------------------------------------------------------- hooks
@@ -651,16 +686,25 @@ class Trainer:
         return res
 
     def _eval_loop(self, loader) -> None:
-        """Dispatch eval steps with a one-batch lag before collecting: the
-        host-side fetch of batch k overlaps batch k+1's device compute
-        (the fetch is the only blocking call in the loop)."""
+        """Dispatch eval steps with a one-group lag before collecting: the
+        host-side fetch of group k overlaps group k+1's device compute
+        (the fetch is the only blocking call in the loop).  Items may be
+        (stacked_or_batch, k) from GroupedLoader (steps_per_call > 1; one
+        scanned dispatch per K batches) or bare batches; collection is
+        shape-agnostic over the leading scan axis (masked boolean
+        selection flattens [K, B, ...] and [B, ...] alike)."""
         prev = None
-        for batch in loader:
-            sharded = meshlib.shard_batch(batch, self.mesh)
-            logits = self._eval_fn(self.state, sharded)
+        for item in loader:
+            batch, k = item if isinstance(item, tuple) else (item, 1)
+            if not isinstance(
+                jax.tree_util.tree_leaves(batch)[0], jax.Array
+            ):  # prefetch off: place here
+                batch = meshlib.shard_batch(batch, self.mesh, scan_dim=k > 1)
+            fn = self._multi_eval_fn if k > 1 else self._eval_fn
+            logits = fn(self.state, batch)
             if prev is not None:
                 self.test_step_collect(*prev)
-            prev = (sharded, logits)
+            prev = (batch, logits)
         if prev is not None:
             self.test_step_collect(*prev)
 

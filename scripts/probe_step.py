@@ -5,8 +5,8 @@ single-step calls with jax.profiler, parse the device plane with
 jax.profiler.ProfileData, and rank op groups by self-time so optimization
 aims at the measured spend, not a guessed roofline.
 
-Usage:  python scripts/probe_step.py [--model=cogmen] [--steps=8]
-            [--batch_size=32] [--max_len=96] [--set key=value ...]
+Usage:  python scripts/probe_step.py [--model=cogmen] [--stage=train|eval]
+            [--steps=8] [--batch_size=32] [--max_len=96] [--set key=value ...]
 
 The COGMEN run of this probe produced the "COGMEN B=32 ceiling" section
 of BENCH_MATRIX.md (device 4.5 ms/step, ~7.1k dia/s ceiling, tunnel
@@ -44,7 +44,8 @@ def group_of(name: str) -> str:
 def main():
     import jax
 
-    kw = {"steps": 8, "batch_size": 32, "max_len": 96, "model": "cogmen"}
+    kw = {"steps": 8, "batch_size": 32, "max_len": 96, "model": "cogmen",
+          "stage": "train"}
     overrides = []
     it = iter(sys.argv[1:])
     for a in it:
@@ -54,7 +55,7 @@ def main():
         k, v = a.lstrip("-").split("=")
         if k == "set":
             overrides.append(v)
-        elif k == "model":
+        elif k in ("model", "stage"):
             kw[k] = v
         else:
             kw[k] = int(v)
@@ -96,13 +97,17 @@ def main():
     bench._force(groups)
 
     state = tr.state
+    if kw["stage"] == "eval":
+        step = lambda s, i: (s, tr._eval_fn(s, groups[i % 4]))
+    else:
+        step = lambda s, i: tr._train_step_fn(s, groups[i % 4], tr.rng.key("d", i))
     for i in range(3):  # compile + warm
-        state, mets = tr._train_step_fn(state, groups[i % 4], tr.rng.key("d", i))
+        state, mets = step(state, i)
     bench._force(mets)
 
     t0 = time.perf_counter()
     for i in range(kw["steps"]):
-        state, mets = tr._train_step_fn(state, groups[i % 4], tr.rng.key("d", i))
+        state, mets = step(state, i)
     bench._force(mets)
     wall = (time.perf_counter() - t0) / kw["steps"]
     print(f"wall/step: {wall*1e3:.2f} ms  ({kw['batch_size']/wall:.0f} dia/s)")
@@ -110,8 +115,7 @@ def main():
     tmp = tempfile.mkdtemp(prefix=f"{kw['model']}_trace_")
     with jax.profiler.trace(tmp):
         for i in range(kw["steps"]):
-            state, mets = tr._train_step_fn(
-                state, groups[i % 4], tr.rng.key("d", i))
+            state, mets = step(state, i)
         bench._force(mets)
 
     pd = jax.profiler.ProfileData.from_serialized_xspace(

@@ -184,3 +184,47 @@ def test_analyse_condition_dsl(tmp_path):
     assert list(out.columns) == ["test", "f1"] and len(out) == 2
     out = filter_by_condition(df, C.f1 > 0.0, ~C.acc)
     assert "acc" not in out.columns and len(out) == 3
+
+
+@pytest.mark.slow
+def test_multi_eval_matches_single_eval(tmp_path, monkeypatch):
+    """steps_per_call>1 groups eval batches into one scanned dispatch
+    (trainer._multi_eval_fn); the collected predictions, NLL and metrics
+    must be IDENTICAL to the one-dispatch-per-batch path.  Covers the
+    tuple-logits collectors too (mmin EMA pair) via the mmin trainer."""
+    import os
+
+    import jax
+
+    os.environ["ERC_TPU_EXPROOT"] = str(tmp_path)
+    from erc_tpu.models.cogmen import COGMENParams, COGMENTrainer
+    from erc_tpu.models.mmin_base import MMINBaseParams, MMINBaseTrainer
+
+    def run(cls_p, cls_t, dataset, spc):
+        p = cls_p()
+        p.dataset = dataset
+        p.epoch = 1
+        p.max_seq_len = 16
+        p.train.batch_size = 4
+        p.test.batch_size = 4
+        p.eval_per_epoch = 0
+        p.steps_per_call = spc
+        p.heartbeat = False
+        p.iparams()
+        tr = cls_t(p)
+        tr.initialize()
+        tr._build_step_fns()
+        res = tr.test()
+        return tr, res
+
+    for cls_p, cls_t, ds in (
+        (COGMENParams, COGMENTrainer, "synthetic-cogmen-6"),
+        (MMINBaseParams, MMINBaseTrainer, "synthetic-mmin-4"),
+    ):
+        tr1, r1 = run(cls_p, cls_t, ds, 1)
+        tr8, r8 = run(cls_p, cls_t, ds, 8)
+        assert tr1._true == tr8._true and tr1._pred == tr8._pred, ds
+        assert abs(tr1._nll_sum - tr8._nll_sum) < 1e-3, ds
+        for k in r1:
+            if isinstance(r1[k], float):
+                assert abs(r1[k] - r8[k]) < 1e-6, (ds, k)
