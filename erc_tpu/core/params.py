@@ -225,7 +225,8 @@ class Params:
         "epoch", "resume", "eval_per_epoch", "eval_first", "eval_val",
         "select_on", "checkpoint_per_epoch", "checkpoint_per_step",
         "keypoint_per_epoch", "batch_count", "heartbeat", "profile_steps",
-        "log_every", "prefetch", "steps_per_call", "device", "pretrain_path",
+        "log_every", "prefetch", "steps_per_call", "eval_steps_per_call",
+        "device", "pretrain_path",
         # distributed-launch knobs: every process of one logical run differs
         # in process_id (and a relaunch may move the coordinator), so none of
         # them can participate in resume identity

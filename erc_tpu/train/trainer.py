@@ -374,9 +374,12 @@ class Trainer:
     def _pipeline_eval(self, loader):
         """Mirror of _pipeline_train for the forward-only stages: the same
         steps_per_call grouping feeds the multi-eval scan (K batches per
-        dispatch), and the producer thread stacks + places off the loop."""
+        dispatch), and the producer thread stacks + places off the loop.
+        --eval_steps_per_call overrides the group size for the forward-only
+        stages (0 = inherit steps_per_call)."""
         p = self.params
-        spc = max(int(p.get("steps_per_call", 1)), 1)
+        spc = int(p.get("eval_steps_per_call", 0) or p.get("steps_per_call", 1))
+        spc = max(spc, 1)
         if spc > 1:
             from erc_tpu.data.loader import GroupedLoader
 

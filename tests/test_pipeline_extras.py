@@ -200,7 +200,7 @@ def test_multi_eval_matches_single_eval(tmp_path, monkeypatch):
     from erc_tpu.models.cogmen import COGMENParams, COGMENTrainer
     from erc_tpu.models.mmin_base import MMINBaseParams, MMINBaseTrainer
 
-    def run(cls_p, cls_t, dataset, spc):
+    def run(cls_p, cls_t, dataset, spc, eval_spc=0):
         p = cls_p()
         p.dataset = dataset
         p.epoch = 1
@@ -209,6 +209,7 @@ def test_multi_eval_matches_single_eval(tmp_path, monkeypatch):
         p.test.batch_size = 4
         p.eval_per_epoch = 0
         p.steps_per_call = spc
+        p.eval_steps_per_call = eval_spc
         p.heartbeat = False
         p.iparams()
         tr = cls_t(p)
@@ -223,8 +224,11 @@ def test_multi_eval_matches_single_eval(tmp_path, monkeypatch):
     ):
         tr1, r1 = run(cls_p, cls_t, ds, 1)
         tr8, r8 = run(cls_p, cls_t, ds, 8)
-        assert tr1._true == tr8._true and tr1._pred == tr8._pred, ds
-        assert abs(tr1._nll_sum - tr8._nll_sum) < 1e-3, ds
-        for k in r1:
-            if isinstance(r1[k], float):
-                assert abs(r1[k] - r8[k]) < 1e-6, (ds, k)
+        # eval-only grouping: spc=1 training, scanned eval
+        tre, re_ = run(cls_p, cls_t, ds, 1, eval_spc=8)
+        for trx, rx in ((tr8, r8), (tre, re_)):
+            assert tr1._true == trx._true and tr1._pred == trx._pred, ds
+            assert abs(tr1._nll_sum - trx._nll_sum) < 1e-3, ds
+            for k in r1:
+                if isinstance(r1[k], float):
+                    assert abs(r1[k] - rx[k]) < 1e-6, (ds, k)
