@@ -34,6 +34,11 @@ TORCH_CPU_BASELINE_DPS = 14.0
 # eval-overlap or prefetch path silently undone), not noise.  Checked by
 # default — perf is a tested property, not a documented one.
 THROUGHPUT_FLOORS_DPS = {"cogmen": 3000.0}
+# eval floor: the scanned multi-eval path (steps_per_call batches per
+# dispatch) measures ~32k dia/s for COGMEN at the parity config; a drop
+# below 15k means the K-batch scan or one-fetch collection regressed to
+# per-batch dispatch (which measured 10-13k)
+EVAL_FLOORS_DPS = {"cogmen": 15000.0}
 
 # bf16 peak matmul throughput per chip (MXU), by device_kind substring
 PEAK_BF16_FLOPS = [
@@ -534,17 +539,25 @@ def main():
     print(json.dumps(out))
 
     floor = THROUGHPUT_FLOORS_DPS.get(args.model)
+    eval_floor = EVAL_FLOORS_DPS.get(args.model)
     at_parity_config = (args.batch_size, args.max_len) == (32, 96)
-    if (floor and at_parity_config and not args.no_assert_floor
-            and not args.overrides):
-        if r["train_dps"] < floor:
-            import sys
+    if at_parity_config and not args.no_assert_floor and not args.overrides:
+        import sys
 
+        if floor and r["train_dps"] < floor:
             print(
                 f"THROUGHPUT REGRESSION: {args.model} train "
                 f"{r['train_dps']:.0f} dia/s < floor {floor:.0f} dia/s "
                 "(parity config; floor covers tunnel variance — "
                 "see THROUGHPUT_FLOORS_DPS)",
+                file=sys.stderr,
+            )
+            sys.exit(2)
+        if eval_floor and r["eval_dps"] and r["eval_dps"] < eval_floor:
+            print(
+                f"THROUGHPUT REGRESSION: {args.model} eval "
+                f"{r['eval_dps']:.0f} dia/s < floor {eval_floor:.0f} dia/s "
+                "(scanned multi-eval path — see EVAL_FLOORS_DPS)",
                 file=sys.stderr,
             )
             sys.exit(2)
