@@ -93,6 +93,38 @@ def test_mmin_miss_multichip_loss_equality(tmp_path):
     _check_family(MMINMissTrainer, p, tmp_path)
 
 
+def test_cim_multichip_loss_equality(tmp_path):
+    """CIM's hazard is the three fused-bidirectional GRU scan chains plus
+    the CE+BCE multitask loss (two masked reductions that must psum
+    identically)."""
+    from erc_tpu.models.cim import CIMParams, CIMTrainer
+
+    p = CIMParams()
+    p.dataset = "synthetic-cogmen-6"
+    _check_family(CIMTrainer, p, tmp_path)
+
+
+def test_dgcn_multichip_loss_equality(tmp_path):
+    """DGCN's hazard is the packed biLSTM scan (length-masked reverse
+    direction) and the class-frequency loss weights computed from the
+    sharded batch's label histogram."""
+    from erc_tpu.models.dgcn import DGCNParams, DGCNTrainer
+
+    p = DGCNParams()
+    p.dataset = "synthetic-cogmen-6"
+    _check_family(DGCNTrainer, p, tmp_path)
+
+
+def test_mmin_miss2_multichip_loss_equality(tmp_path):
+    """miss2 trains TWO MMINBase nets jointly in one param tree — both
+    nets' grads must psum coherently on the data axis."""
+    from erc_tpu.models.mmin_miss2 import MMINMiss2Params, MMINMiss2Trainer
+
+    p = MMINMiss2Params()
+    p.dataset = "synthetic-mmin-4"
+    _check_family(MMINMiss2Trainer, p, tmp_path)
+
+
 def test_mmin_ema_shadow_consistent_across_mesh(tmp_path):
     """The EMA shadow (updated INSIDE the jit step) must come out identical
     on a sharded mesh — a desynced shadow would silently corrupt Acc2 eval."""
