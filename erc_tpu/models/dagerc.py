@@ -49,11 +49,12 @@ class DAGERCParams(MMBaseParams):
         self.windowp = 1
         self.hidden_dim = 300
         # DAGStack blocking: utterances per scan trip; remat of the block
-        # body; and the within-block implementation.  auto currently
-        # resolves to the XLA path everywhere (the fused pallas kernel wins
-        # on forward but its hand-written backward loses to XLA AD —
-        # measured in BENCH_MATRIX.md); --dag_impl=pallas selects it
-        # explicitly — see DAGStack docstring
+        # body; and the within-block implementation.  auto = XLA for the
+        # train step (the fused pallas kernel's hand-written backward loses
+        # to XLA AD) but the PALLAS forward for the deterministic eval step
+        # on single-chip TPU (measured +10% eval wall, BENCH_MATRIX.md);
+        # --dag_impl=pallas/xla forces one form for both stages — see
+        # DAGStack docstring and DAGERCTrainer.imodels for the resolution
         self.dag_chunk = 16
         # block-body remat ON by default (round 4): recomputing the
         # unrolled within-block tail in the backward beats streaming its
@@ -195,15 +196,19 @@ class DAGStack(nn.Module):
     remat: bool = False
     # 'pallas' fuses the within-block tail into one kernel with a
     # hand-written backward (ops/pallas/dag_block); measured v5e it wins
-    # slightly on the forward (3.4 vs 4.3 ms) but its backward loses to
-    # XLA AD (45 vs 19 ms: Mosaic relayouts dominate the [B,C]×[B,C,D]
-    # broadcast chain), so 'auto' currently resolves to 'xla' everywhere.
-    # The recurrence is latency-bound either way — see BENCH_MATRIX.md
-    # for the roofline analysis and the large-batch operating point.
+    # on the forward (3.4 vs 4.3 ms) but its backward loses to XLA AD
+    # (45 vs 19 ms: Mosaic relayouts dominate the [B,C]×[B,C,D]
+    # broadcast chain).  `impl` drives the grad-bearing (train) form;
+    # `impl_eval` (empty = same as impl) lets the deterministic forward
+    # take the kernel where it wins — DAGERCTrainer resolves dag_impl=auto
+    # to impl='xla', impl_eval='pallas' on single-chip TPU (measured +10%
+    # eval wall, BENCH_MATRIX.md).  The recurrence is latency-bound either
+    # way — see BENCH_MATRIX.md for the roofline and large-batch points.
     impl: str = "auto"
+    impl_eval: str = ""
 
     @nn.compact
-    def __call__(self, H0, adj, s_mask):
+    def __call__(self, H0, adj, s_mask, deterministic: bool = True):
         D = self.hidden_dim
         B, L, _ = H0.shape
         scale = 1.0 / jnp.sqrt(D)
@@ -258,7 +263,14 @@ class DAGStack(nn.Module):
                 (0, 3, 1, 2), (1, 0, 2, 3),
             )  # → [T, B, C, C]
 
-        use_pallas = self.impl == "pallas"
+        # `deterministic` is static at trace time, so the eval jit and the
+        # train jit can resolve to different within-block forms while
+        # sharing one parameter tree (the params above are form-agnostic).
+        # Param init (also deterministic) stays on the XLA form — no point
+        # paying the kernel compile before the first real eval.
+        use_eval_impl = deterministic and not self.is_initializing()
+        impl = (self.impl_eval or self.impl) if use_eval_impl else self.impl
+        use_pallas = impl == "pallas"
         addmask_w = block_diag(addmask)
         sm_w = block_diag(smp)
         addmask_blk = jnp.moveaxis(addmask.reshape(B, T, C, Lp), 1, 0)
@@ -412,6 +424,7 @@ class DAGERCModule(nn.Module):
     chunk: int = 16
     remat: bool = False
     impl: str = "auto"
+    impl_eval: str = ""
 
     @nn.compact
     def __call__(self, batch, deterministic: bool = True):
@@ -429,8 +442,9 @@ class DAGERCModule(nn.Module):
             ys = DAGStack(
                 self.hidden_dim, self.gnn_layers,
                 chunk=self.chunk, remat=self.remat, impl=self.impl,
+                impl_eval=self.impl_eval,
                 name="stack",
-            )(H0, adj, s_mask)
+            )(H0, adj, s_mask, deterministic=deterministic)
             Hs = [H0] + list(ys)
         else:
             Hs = [H0]
@@ -447,8 +461,30 @@ class DAGERCModule(nn.Module):
         return nn.Dense(self.n_classes, name="out_2")(h)
 
 
+def resolve_dag_impl(dag_impl: str, backend: str, mesh_size: int):
+    """Map the --dag_impl knob to (train_impl, eval_impl).
+
+    'auto' keeps XLA for the grad-bearing train step (the pallas kernel's
+    hand-written backward loses to XLA AD + block remat) but takes the
+    fused pallas forward for the deterministic eval step on single-chip
+    TPU, where it measured +10% eval wall (BENCH_MATRIX.md).  Multi-chip
+    meshes stay on XLA: a pallas_call is a manually-partitioned custom
+    call, and the eval batch axis is sharded by NamedSharding — the XLA
+    form partitions for free, the kernel would not.
+    """
+    if dag_impl == "auto":
+        if backend == "tpu" and mesh_size == 1:
+            return "xla", "pallas"
+        return "xla", "xla"
+    return dag_impl, dag_impl
+
+
 class DAGERCTrainer(Trainer):
     def imodels(self, params: ParamsType):
+        impl, impl_eval = resolve_dag_impl(
+            str(params.get("dag_impl", "auto")),
+            jax.default_backend(), self.mesh.size,
+        )
         self.model = DAGERCModule(
             emb_dim=params.hidden_all,
             n_classes=params.n_classes,
@@ -458,7 +494,8 @@ class DAGERCTrainer(Trainer):
             drop_rate=float(params.dropout),
             chunk=int(params.get("dag_chunk", 16)),
             remat=bool(params.get("dag_remat", True)),
-            impl=str(params.get("dag_impl", "auto")),
+            impl=impl,
+            impl_eval=impl_eval,
         )
         # grad clip 5.0 (dagerc.py:230)
         self.tx = optim_factory.build_optim(params.optim, grad_clip_norm=5.0)

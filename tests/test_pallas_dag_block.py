@@ -111,3 +111,49 @@ def test_dag_block_grads_first_block():
     g_ker = jax.grad(loss(dbk.dag_block), argnums=(0, 3, 9))(*args[1:])
     for a, b in zip(g_ker, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-3)
+
+
+# ---------------------------------------------------------------- eval wiring
+
+def test_resolve_dag_impl():
+    """dag_impl=auto → XLA train form everywhere; pallas eval forward only
+    on single-chip TPU (multi-chip eval batches are sharded and a
+    pallas_call would not partition; CPU runs the kernel only in tests)."""
+    from erc_tpu.models.dagerc import resolve_dag_impl
+
+    assert resolve_dag_impl("auto", "tpu", 1) == ("xla", "pallas")
+    assert resolve_dag_impl("auto", "tpu", 8) == ("xla", "xla")
+    assert resolve_dag_impl("auto", "cpu", 1) == ("xla", "xla")
+    assert resolve_dag_impl("pallas", "cpu", 4) == ("pallas", "pallas")
+    assert resolve_dag_impl("xla", "tpu", 1) == ("xla", "xla")
+
+
+def test_dagerc_eval_impl_switch_matches_xla():
+    """impl_eval='pallas' must route ONLY the deterministic apply through
+    the fused kernel and reproduce the XLA form's logits (interpret mode
+    on CPU) — the module-level proof behind resolve_dag_impl's auto."""
+    from erc_tpu.models.dagerc import DAGERCModule
+
+    r = np.random.default_rng(0)
+    Bx, L, E = 2, 12, 16
+    lengths = np.array([12, 7])
+    mask = (np.arange(L)[None, :] < lengths[:, None]).astype(np.float32)
+    batch = {
+        "input_tensor": jnp.asarray(r.normal(size=(Bx, L, E)).astype(np.float32)),
+        "attention_mask": jnp.asarray(mask),
+        "speaker_ids": jnp.asarray(r.integers(0, 2, (Bx, L))),
+        "text_length": jnp.asarray(lengths),
+    }
+
+    def mk(impl_eval):
+        return DAGERCModule(
+            emb_dim=E, n_classes=4, gnn_layers=2, hidden_dim=8,
+            chunk=4, impl="xla", impl_eval=impl_eval,
+        )
+
+    variables = mk("").init(jax.random.key(0), batch)
+    logits_xla = mk("").apply(variables, batch, deterministic=True)
+    logits_pal = mk("pallas").apply(variables, batch, deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(logits_xla), np.asarray(logits_pal), atol=2e-5, rtol=2e-5
+    )
