@@ -144,6 +144,35 @@ MODEL_IMPLS = {
 }
 
 
+def apply_overrides(p, overrides):
+    """Apply ``--set key=value`` model-param overrides with type coercion
+    keyed off the knob's current value — the ONE parser for bench.py and
+    scripts/probe_step.py (they must configure identical params for a
+    probe to explain a bench number)."""
+    for kv in overrides:  # e.g. dag_chunk=16
+        k, v = kv.split("=", 1)
+        cur = p.get(k)
+        low = v.lower()
+        if isinstance(cur, bool) or (cur is None and low in ("true", "false")):
+            # bool knobs accept 1/0/true/false/on/off — a bare "0" must
+            # NOT land as a raw string (bool("0") is True downstream)
+            if low in ("1", "true", "on", "yes"):
+                p[k] = True
+            elif low in ("0", "false", "off", "no"):
+                p[k] = False
+            else:
+                p[k] = v  # mode string for object-typed knobs
+        elif isinstance(cur, int):
+            p[k] = int(v)
+        elif isinstance(cur, float):
+            p[k] = float(v)
+        else:
+            # string/choice knobs take the value verbatim; constraint
+            # checking (e.g. gcn_remat ∈ full|off|dots) reports bad values
+            p[k] = v
+    return p
+
+
 def bench_tpu(batch_size=32, max_len=96, steps=32, steps_per_call=8,
               graph_impl="dense", model="cogmen", with_eval=True,
               overrides=()):
@@ -172,27 +201,7 @@ def bench_tpu(batch_size=32, max_len=96, steps=32, steps_per_call=8,
         # forward), which would make the comparison dishonest
         p.encoder_mode = "chained"
     p.steps_per_call = steps_per_call
-    for kv in overrides:  # --set model params, e.g. dag_chunk=16
-        k, v = kv.split("=", 1)
-        cur = p.get(k)
-        low = v.lower()
-        if isinstance(cur, bool) or (cur is None and low in ("true", "false")):
-            # bool knobs accept 1/0/true/false/on/off — a bare "0" must
-            # NOT land as a raw string (bool("0") is True downstream)
-            if low in ("1", "true", "on", "yes"):
-                p[k] = True
-            elif low in ("0", "false", "off", "no"):
-                p[k] = False
-            else:
-                p[k] = v  # mode string for object-typed knobs
-        elif isinstance(cur, int):
-            p[k] = int(v)
-        elif isinstance(cur, float):
-            p[k] = float(v)
-        else:
-            # string/choice knobs take the value verbatim; constraint
-            # checking (e.g. gcn_remat ∈ full|off|dots) reports bad values
-            p[k] = v
+    apply_overrides(p, overrides)
     p.iparams()
     tr = trainer_cls(p)
     tr.initialize()

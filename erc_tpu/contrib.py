@@ -183,12 +183,16 @@ def audio_center_crop(max_size: int):
 
 
 def audio_gauss_noise(ratio: float = 20.0, p: float = 0.5):
-    """Add zero-mean gaussian noise with std = max(x)·ratio/100, with
-    probability ``p`` (audio_strategies.py:35)."""
+    """Add zero-mean gaussian noise with std = |x|max·ratio/100, with
+    probability ``p`` (audio_strategies.py:35).  The reference scales by
+    the signed ``max(x)``, which hands a negative std to the sampler on
+    an all-negative clip (latent crash there too); the amplitude-derived
+    |x|max keeps its semantics on real audio and stays valid everywhere."""
 
     def inner(x: np.ndarray, rng: np.random.Generator):
         if rng.random() < p:
-            x = x + rng.normal(0.0, float(np.max(x)) * ratio / 100.0, x.shape)
+            std = float(np.abs(x).max()) * ratio / 100.0
+            x = x + rng.normal(0.0, std, x.shape)
         return x
 
     return inner

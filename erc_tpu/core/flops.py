@@ -45,11 +45,13 @@ def _conv_flops(eqn) -> float:
     out = eqn.outvars[0].aval.shape
     rhs = eqn.invars[1].aval.shape  # kernel
     dn = eqn.params["dimension_numbers"]
-    fgc = eqn.params.get("feature_group_count", 1)
-    # kernel: spatial dims + in-feature dim (already / fgc in the aval)
+    # per output element: k_spatial × cin-per-group MACs.  The kernel
+    # aval's in-feature dim is ALREADY cin_total/feature_group_count in
+    # JAX's conv convention, so grouped/depthwise convs need no further
+    # division (tests/test_flops.py covers fgc>1).
     k_spatial = math.prod(rhs[d] for d in dn.rhs_spec[2:])
-    cin = rhs[dn.rhs_spec[1]]
-    return 2.0 * math.prod(out) * k_spatial * cin / max(fgc, 1) * 1.0
+    cin_per_group = rhs[dn.rhs_spec[1]]
+    return 2.0 * math.prod(out) * k_spatial * cin_per_group
 
 
 def _count(jaxpr) -> tuple[float, bool]:

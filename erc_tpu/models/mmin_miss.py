@@ -61,7 +61,12 @@ class MMINMissTrainer(MMINBaseTrainer):
             self.pretrained_params = variables["params"]
             p = self.params.get("pretrain_path")
             if p:
-                self.pretrained_params = self.saver.load_into(p, self.pretrained_params)
+                # the file is a full mmin_base TrainState checkpoint;
+                # extract the weights subtree (mmin_miss.py:145-146 loads
+                # sd['models']['model'] the same way)
+                self.pretrained_params = self.saver.load_params(
+                    p, self.pretrained_params
+                )
                 self.logger.info(f"loaded pretrained encoder from {p}")
 
     def loss_and_metrics(self, variables, batch, rng, train: bool):

@@ -57,7 +57,11 @@ class MMINMiss2Trainer(MMINBaseTrainer):
         super().initialize()
         p = self.params.get("pretrain_path")
         if p and not getattr(self, "_netb_loaded", False):
-            netb = self.saver.load_into(p, self.state.params["netB"])
+            # the file is a full mmin_base TrainState checkpoint; its
+            # MMINBaseModule params subtree is structurally identical to
+            # this model's netB (reference loads sd['models']['model'],
+            # mmin_miss2.py:145-147)
+            netb = self.saver.load_params(p, self.state.params["netB"])
             new_params = dict(self.state.params)
             new_params["netB"] = netb
             self.state = self.state.replace(params=new_params)
@@ -66,6 +70,12 @@ class MMINMiss2Trainer(MMINBaseTrainer):
                 self.state = self.state.replace(
                     ema_params=jax.tree_util.tree_map(jnp.copy, new_params)
                 )
+            # the loaded subtree is host numpy — re-place the whole state
+            # on the mesh so the donated train step sees one sharding
+            # (mirrors load_checkpoint, trainer.py:793-794)
+            from erc_tpu.parallel import mesh as meshlib
+
+            self.state = meshlib.replicate(self.state, self.mesh)
             self._netb_loaded = True
             self.logger.info(f"warm-started netB from {p}")
 

@@ -107,7 +107,10 @@ class AutoLoadModel(Callback):
 
     def train_begin(self, tr):
         path = tr.params.get("pretrain_path")
-        if path and tr.params.get("pretrain", True):
+        # `pretrain` defaults False, exactly like the reference gate
+        # (callbacks.py:599) — trainers that give pretrain_path their own
+        # semantics (mmin_miss/miss2 warm-starts) never trip this
+        if path and tr.params.get("pretrain", False):
             tr.load_checkpoint(path)
             tr.logger.info(f"loaded pretrained state from {path}")
 

@@ -54,6 +54,25 @@ class Saver:
         with open(path, "rb") as f:
             return serialization.from_bytes(target, f.read())
 
+    def load_params(self, path: str, target_params: Any) -> Any:
+        """Extract the model-weights subtree from a saved file into
+        ``target_params``.
+
+        Every file this Saver writes is a full TrainState tree (params /
+        opt_state / model_state / step / ema_params — trainer.py
+        ``_state_tree``), but warm-start consumers (mmin_miss's frozen
+        encoder, mmin_miss2's netB) only want the weights — the reference
+        loads ``sd['models']['model']`` the same way
+        (track_mm/mmin_miss.py:145-146).  Restores without a structure
+        target first, then unpacks: a full state tree yields its
+        ``params`` entry; a bare params tree passes through.
+        """
+        with open(path, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        if isinstance(raw, dict) and {"params", "opt_state", "step"} <= set(raw):
+            raw = raw["params"]
+        return serialization.from_state_dict(target_params, raw)
+
     # -- tiers ----------------------------------------------------------------
     def save_checkpoint(
         self, step: int, tree: Any, meta: Optional[Dict] = None, is_best: bool = False

@@ -415,7 +415,11 @@ class Trainer:
         cbs.FinalReport().hook(self)
         if params.get("eval_first"):
             cbs.EvalFirst().hook(self)
-        if params.get("pretrain_path"):
+        # lumo gates the generic auto-load on BOTH knobs with `pretrain`
+        # defaulting False (callbacks.py:588-602) — the mmin trainers set
+        # only pretrain_path and give it their own warm-start semantics
+        # (frozen encoder / netB), which must NOT also whole-state load
+        if params.get("pretrain", False) and params.get("pretrain_path"):
             cbs.AutoLoadModel().hook(self)
         if params.get("checkpoint_per_epoch"):
             cbs.EpochCheckpoint(int(params.get("checkpoint_per_epoch"))).hook(self)

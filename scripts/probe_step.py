@@ -52,7 +52,7 @@ def main():
         if a == "--set":
             overrides.append(next(it))
             continue
-        k, v = a.lstrip("-").split("=")
+        k, v = a.lstrip("-").split("=", 1)
         if k == "set":
             overrides.append(v)
         elif k in ("model", "stage"):
@@ -75,17 +75,7 @@ def main():
     if kw["model"] == "cogmen":
         p.encoder_mode = "chained"  # match the bench's honest config
     p.steps_per_call = 1  # ONE train step per dispatch in the trace
-    for kv in overrides:
-        k, v = kv.split("=", 1)
-        cur = p.get(k)
-        if isinstance(cur, bool):
-            p[k] = v.lower() in ("1", "true", "on", "yes")
-        elif isinstance(cur, int):
-            p[k] = int(v)
-        elif isinstance(cur, float):
-            p[k] = float(v)
-        else:
-            p[k] = v
+    bench.apply_overrides(p, overrides)  # the bench's parser, verbatim
     p.iparams()
     tr = getattr(mod, tcls)(p)
     tr.initialize()

@@ -37,6 +37,20 @@ def test_conv_flops():
     assert r["flops"] == 2 * (2 * 8 * 8 * 16) * (3 * 3) * 3
 
 
+def test_grouped_conv_flops():
+    """Depthwise/grouped convs: the kernel aval's in-feature dim is
+    already cin_total/fgc — the counter must not divide again."""
+    C, G = 8, 8  # depthwise: one group per channel
+    x = jnp.zeros((2, 8, 8, C))
+    k = jnp.zeros((3, 3, C // G, C))  # HWIO with I = cin/fgc = 1
+    f = lambda x, k: jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", feature_group_count=G,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    r = mxu_flops(f, x, k)
+    # per output element: 3*3 spatial taps × 1 in-channel-per-group
+    assert r["flops"] == 2 * (2 * 8 * 8 * C) * (3 * 3) * 1
+
+
 def test_scan_multiplies_by_length_where_xla_does_not():
     h = jnp.zeros((64, 64))
 

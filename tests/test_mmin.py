@@ -306,3 +306,70 @@ def test_dgcnv2_daily_loader_routes_registry(tmp_path, monkeypatch):
     build_vocab.cache_clear()
     with pytest.raises(FileNotFoundError, match="DailyDialog"):
         list(tr2.make_loader("train"))
+
+
+def test_mmin_pretrain_path_warm_start(tmp_path):
+    """--pretrain_path points at a finished mmin_base run's save — a FULL
+    TrainState file (trainer._state_tree).  miss2 must extract the weights
+    subtree into netB (the reference loads sd['models']['model'],
+    mmin_miss2.py:145-147), miss into its frozen encoder, and the generic
+    whole-state AutoLoadModel must NOT also fire (lumo gates it on
+    `pretrain`, which defaults False — lumo callbacks.py:599)."""
+    import os
+
+    os.environ["ERC_TPU_EXPROOT"] = str(tmp_path)
+    from erc_tpu.models.mmin_base import MMINBaseParams, MMINBaseTrainer
+    from erc_tpu.models.mmin_miss import MMINMissParams, MMINMissTrainer
+    from erc_tpu.models.mmin_miss2 import MMINMiss2Params, MMINMiss2Trainer
+    from erc_tpu.train import callbacks as cbs
+
+    def mx(tree):
+        return max(jax.tree_util.tree_leaves(tree))
+
+    p = MMINBaseParams()
+    p.dataset = "synthetic-mmin-4"
+    p.max_audio_len = 32
+    p.iparams()
+    base = MMINBaseTrainer(p)
+    base.initialize()
+    ckpt = base.save_model("best")
+    want = jax.tree_util.tree_map(np.asarray, base.state.params)
+
+    p2 = MMINMiss2Params()
+    p2.dataset = "synthetic-mmin-4"
+    p2.max_audio_len = 32
+    p2.pretrain_path = ckpt
+    p2.iparams()
+    tr2 = MMINMiss2Trainer(p2)
+    tr2.initialize()
+    got = jax.tree_util.tree_map(np.asarray, tr2.state.params["netB"])
+    diff = jax.tree_util.tree_map(lambda a, b: float(np.abs(a - b).max()), got, want)
+    assert mx(diff) == 0.0, "netB must equal the saved mmin_base weights"
+    # net (the classifier) stays randomly initialized — warm-start is netB-only
+    net_diff = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        tr2.state.params["net"], want,
+    )
+    assert mx(net_diff) > 0.0, "net must NOT be overwritten"
+    # EMA shadow re-synced to the warm-started weights
+    ema = jax.tree_util.tree_map(np.asarray, tr2.state.ema_params["netB"])
+    ema_diff = jax.tree_util.tree_map(lambda a, b: float(np.abs(a - b).max()), ema, want)
+    assert mx(ema_diff) == 0.0
+    # pretrain_path alone must not install the whole-state auto-load
+    tr2.icallbacks(p2)
+    assert not any(isinstance(c, cbs.AutoLoadModel) for c in tr2.callbacks)
+    # and the warm-started state still trains (one step, loss finite)
+    mets = _one_step(tr2, tmp_path)
+    assert np.isfinite(float(np.asarray(mets["Lall"])))
+
+    # mmin_miss: the same file warm-starts the frozen encoder
+    p3 = MMINMissParams()
+    p3.dataset = "synthetic-mmin-4"
+    p3.max_audio_len = 32
+    p3.pretrain_path = ckpt
+    p3.iparams()
+    tr3 = MMINMissTrainer(p3)
+    tr3.initialize()
+    got3 = jax.tree_util.tree_map(np.asarray, tr3.pretrained_params)
+    diff3 = jax.tree_util.tree_map(lambda a, b: float(np.abs(a - b).max()), got3, want)
+    assert mx(diff3) == 0.0, "frozen encoder must equal the saved weights"
