@@ -11,6 +11,8 @@
     python -m erc_tpu.cli archive <commit> <out.zip>       # export a run snapshot
     python -m erc_tpu.cli warm <module> [dataset] [bs] [L] # precompile steps
     python -m erc_tpu.cli checkdata [dataset ...]          # validate a feature-dump mount
+    python -m erc_tpu.cli mem                              # device-memory snapshot
+    python -m erc_tpu.cli summary <module> [dataset]       # per-module param table
 """
 
 from __future__ import annotations
@@ -195,6 +197,32 @@ def main(argv=None):
         names = argv[1:] or _CHECKDATA_DEFAULTS
         if _checkdata(names):
             sys.exit(1)
+    elif cmd == "mem":
+        from erc_tpu.core import memstat
+
+        print(memstat.memory_report())
+    elif cmd == "summary":
+        # per-module param table for a model family on synthetic shapes
+        import importlib
+
+        import jax
+
+        from erc_tpu.core.summary import summarize_model
+
+        mod = importlib.import_module(f"erc_tpu.models.{argv[1]}")
+        p = getattr(mod, "ParamsType")()
+        p.dataset = argv[2] if len(argv) > 2 else "synthetic-cogmen-6"
+        p.iparams()
+        trainer_cls = [
+            v for k, v in vars(mod).items()
+            if k.endswith("Trainer") and isinstance(v, type)
+        ][-1]
+        tr = trainer_cls(p)
+        tr.imodels(p)
+        batch = tr.example_batch(L=int(p.get("length_bucket", 32) or 32),
+                                 B=int(p.train.batch_size))
+        rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+        print(summarize_model(tr.model, rngs, batch, deterministic=True))
     else:
         print(__doc__)
         sys.exit(1)

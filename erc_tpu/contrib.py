@@ -214,3 +214,36 @@ class AudioCompose:
             if op:
                 x = op(x, rng)
         return x
+
+
+def dataset_mean_std(images):
+    """Per-channel mean/std of a dataset of HWC uint8-range images, /255
+    scaled (reference: lumo/sketch/preprocess_mean_std.py:9-46 — two-pass:
+    mean = average of per-image channel means, std = sqrt of the pixel-
+    weighted squared deviation from that mean).  ``images`` is a re-
+    iterable sequence of arrays (or (img, label) pairs); channel order is
+    whatever the arrays carry (the reference hardcodes cv2's BGR)."""
+
+    def _img(x):
+        return np.asarray(x[0] if isinstance(x, (tuple, list)) else x, dtype=np.float64)
+
+    n_imgs = 0
+    mean = None
+    for item in images:
+        img = _img(item)
+        n_imgs += 1
+        m = img.reshape(-1, img.shape[-1]).mean(axis=0)
+        mean = m if mean is None else mean + m
+    if not n_imgs:
+        raise ValueError("empty dataset")
+    mean = mean / n_imgs
+
+    sq = np.zeros_like(mean)
+    n_pix = 0
+    for item in images:
+        img = _img(item)
+        flat = img.reshape(-1, img.shape[-1])
+        sq += ((flat - mean) ** 2).sum(axis=0)
+        n_pix += flat.shape[0]
+    std = np.sqrt(sq / n_pix)
+    return tuple(mean / 255.0), tuple(std / 255.0)

@@ -201,6 +201,37 @@ class FinalReport(Callback):
                                     "epochs": tr.eidx + 1})
 
 
+class MemoryMonitor(Callback):
+    """Log per-epoch device-memory peaks (reference capability:
+    lumo/sketch/memory_grab.py's GPU-memory watchdog → TPU allocator
+    counters via core/memstat.py).  Warns when HBM in-use crosses
+    `warn_frac` of the limit; logs the live-array census at that point so
+    the holder is identified before an OOM, not after."""
+
+    def __init__(self, warn_frac: float = 0.9):
+        self.warn_frac = warn_frac
+        self._warned = False
+
+    def train_epoch_end(self, tr, eidx, record):
+        from erc_tpu.core import memstat
+
+        stats = memstat.device_memory_stats()
+        if stats is None:
+            return
+        peak = stats.get("peak_bytes_in_use", stats["bytes_in_use"])
+        msg = f"HBM in_use={stats['bytes_in_use'] / 2**20:.0f}MiB peak={peak / 2**20:.0f}MiB"
+        limit = stats.get("bytes_limit")
+        if limit:
+            msg += f" limit={limit / 2**20:.0f}MiB"
+        tr.logger.info(msg)
+        if limit and not self._warned and stats["bytes_in_use"] > self.warn_frac * limit:
+            self._warned = True
+            tr.logger.warning(
+                "HBM above %.0f%% of limit — live arrays:\n%s"
+                % (100 * self.warn_frac, memstat.memory_report())
+            )
+
+
 class NaNGuard(Callback):
     """Abort (with checkpoint) on non-finite loss — the jit-era sanitizer."""
 
