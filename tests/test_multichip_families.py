@@ -125,6 +125,32 @@ def test_mmin_miss2_multichip_loss_equality(tmp_path):
     _check_family(MMINMiss2Trainer, p, tmp_path)
 
 
+def test_dgcnv2_daily_multichip_loss_equality(tmp_path):
+    """The token track's hazard is the embedding table: a [vocab, D]
+    gather in forward and a scatter-add gradient in backward that must
+    psum coherently over the data axis."""
+    from erc_tpu.models.dgcnv2 import DGCNV2DailyParams, DGCNV2DailyTrainer
+
+    p = DGCNV2DailyParams()
+    p.dataset = "synthetic-daily-token-7"
+    p.vocab_size = 500
+    p.n_words = 12
+    p.embedding_dim = 32
+    p.hidden_size = 16
+    _check_family(DGCNV2DailyTrainer, p, tmp_path)
+
+
+def test_mmin_base_multichip_loss_equality(tmp_path):
+    """mmin_base is the EMA-in-jit origin (miss/miss2 inherit it); its own
+    step must shard cleanly too — utterance-level batch keys differ from
+    the dialogue families."""
+    from erc_tpu.models.mmin_base import MMINBaseParams, MMINBaseTrainer
+
+    p = MMINBaseParams()
+    p.dataset = "synthetic-mmin-4"
+    _check_family(MMINBaseTrainer, p, tmp_path)
+
+
 def test_mmin_ema_shadow_consistent_across_mesh(tmp_path):
     """The EMA shadow (updated INSIDE the jit step) must come out identical
     on a sharded mesh — a desynced shadow would silently corrupt Acc2 eval."""

@@ -113,6 +113,21 @@ def test_mmin_miss_learns(tmp_path):
     assert res["f1"] > 0.25 + 0.08, res["f1"]
 
 
+def test_mmin_base_learns(tmp_path):
+    from erc_tpu.models.mmin_base import MMINBaseParams, MMINBaseTrainer
+
+    p = MMINBaseParams()
+    p.dataset = "synthetic-mmin-4"
+    p.epoch = 3
+    p.train.batch_size = 32
+    p.test.batch_size = 32
+    p.optim.lr = 1e-3
+    _, res = _train_and_score(MMINBaseTrainer, p, tmp_path)
+    # full-modality base net: no Missing dropout, so the bar matches the
+    # dialogue tracks rather than the degraded miss variants
+    assert res["f1"] > 0.25 + 0.10, res["f1"]
+
+
 def test_mmin_miss2_learns(tmp_path):
     from erc_tpu.models.mmin_miss2 import MMINMiss2Params, MMINMiss2Trainer
 
