@@ -183,6 +183,48 @@ def stack_batches(batches) -> dict:
     return out
 
 
+class MappedLoader:
+    """Apply ``fn`` to every yielded batch (e.g. the transfer-dtype cast);
+    forwards len/set_epoch like the other wrappers."""
+
+    def __init__(self, loader, fn):
+        self.loader = loader
+        self.fn = fn
+
+    def __len__(self):
+        return len(self.loader)
+
+    def set_epoch(self, epoch: int):
+        self.loader.set_epoch(epoch)
+
+    def __iter__(self):
+        return (self.fn(b) for b in self.loader)
+
+
+def transfer_cast_fn(dtype):
+    """Batch-cast fn for ``--transfer_dtype``: quantize float32 arrays to
+    `dtype` (bfloat16 halves the bytes the host link ships per step; the
+    jitted steps upcast at entry — trainer.cast_floats); int/bool/label
+    arrays pass through.  None when dtype is float32 (no cast needed)."""
+    if not dtype or str(dtype) == "float32":
+        return None
+    import ml_dtypes
+
+    target = np.dtype(getattr(ml_dtypes, str(dtype)))
+
+    def cast(batch):
+        return {
+            k: (
+                v.astype(target)
+                if isinstance(v, np.ndarray) and v.dtype == np.float32
+                else v
+            )
+            for k, v in batch.items()
+        }
+
+    return cast
+
+
 class GroupedLoader:
     """Group K consecutive same-shape batches into stacked [K, B, ...]
     arrays for the trainer's multi-step scan (steps_per_call > 1).

@@ -31,6 +31,13 @@ def synthetic_erc(
     audio_dim=None,
     visual_dim=None,
 ):
+    import os
+
+    # scale knob for end-to-end CLI throughput runs: the fixed 120-dialogue
+    # epoch is too small to measure the steady-state loop (epoch turnaround
+    # dominates); real dumps are ~thousands of dialogues
+    n_train = int(os.environ.get("ERC_TPU_SYNTH_TRAIN", n_train))
+    n_test = int(os.environ.get("ERC_TPU_SYNTH_TEST", n_test))
     dims = dict(_DIMS.get(prefix, _DIMS["iemocap-cogmen"]))
     if text_dim:
         dims["text"] = text_dim

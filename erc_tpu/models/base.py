@@ -59,6 +59,12 @@ class MMBaseParams(BaseParams):
         # bf16 fwd/bwd with f32 master params/optimizer (halves activation
         # HBM traffic); float32 default for bit-level parity runs
         self.compute_dtype = self.choice("float32", "bfloat16")
+        # host→device batch transfer dtype: bfloat16 halves the bytes the
+        # input pipeline ships per step (features are quantized once at
+        # transfer; steps upcast to compute_dtype at entry).  The win is
+        # proportional to host-link bandwidth — measured ~2x end-to-end on
+        # a tunnel-attached host, invisible next to PCIe
+        self.transfer_dtype = self.choice("float32", "bfloat16")
         self.eval_per_epoch = 1
         # val-split stage: evaluate() runs at the eval cadence when the
         # dataset has a real val split (MOSEI valid_id, MMIN folds);

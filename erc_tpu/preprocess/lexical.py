@@ -47,8 +47,14 @@ class TextEncoder:
         if self._jitted is None:
             import jax
 
-            def fn(input_ids, attention_mask):
-                out = self.model(input_ids=input_ids, attention_mask=attention_mask)
+            # params enter as a jit ARGUMENT, not a closure capture — a
+            # closed-over FlaxPreTrainedModel bakes its full weight tree
+            # into the HLO as constants (bloats every compile; overflows
+            # remote-compile request limits for real-sized encoders)
+            def fn(params, input_ids, attention_mask):
+                out = self.model(
+                    input_ids=input_ids, attention_mask=attention_mask, params=params
+                )
                 if self.mode == "robert" and getattr(out, "pooler_output", None) is not None:
                     return out.pooler_output
                 import jax.numpy as jnp
@@ -56,7 +62,8 @@ class TextEncoder:
                 m = attention_mask[..., None].astype(out.last_hidden_state.dtype)
                 return (out.last_hidden_state * m).sum(1) / jnp.maximum(m.sum(1), 1e-9)
 
-            self._jitted = jax.jit(fn)
+            jitted = jax.jit(fn)
+            self._jitted = lambda ids, am: jitted(self.model.params, ids, am)
         return self._jitted
 
     def encode(self, sentences: List[str]) -> np.ndarray:

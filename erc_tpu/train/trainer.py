@@ -54,12 +54,20 @@ from erc_tpu.data.loader import stack_batches as _stack_batches  # noqa: E402
 
 
 def cast_floats(tree, dtype):
-    """Cast float arrays of a pytree (params / batch) to a compute dtype."""
-    if dtype in (None, "float32", jnp.float32):
-        return tree
+    """Cast float arrays of a pytree (params / batch) to a compute dtype.
+
+    Also UPcasts: a batch shipped over the host link in bfloat16
+    (``--transfer_dtype=bfloat16``) is restored to the compute dtype at
+    step entry, so transfer precision and compute precision are
+    independent knobs.  Same-dtype leaves pass through untouched."""
+    dtype = jnp.dtype(dtype or "float32")
 
     def c(x):
-        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+        if (
+            hasattr(x, "dtype")
+            and jnp.issubdtype(x.dtype, jnp.floating)
+            and x.dtype != dtype
+        ):
             return x.astype(dtype)
         return x
 
@@ -293,6 +301,13 @@ class Trainer:
         fetched in one round-trip).  Subclasses that replace the eval step
         (e.g. mmin's EMA logit pair) MUST install through here so the
         scanned path scans the same step."""
+        inner = eval_step
+
+        def eval_step(state, batch):  # noqa: F811 — upcast-wrapped
+            # eval always computes in f32 (master params); restore a
+            # bf16-transferred batch at entry (no-op for f32 batches)
+            return inner(state, cast_floats(batch, "float32"))
+
         self._eval_fn = jax.jit(eval_step)
 
         def multi_eval(state: TrainState, stacked_batches):
@@ -348,11 +363,21 @@ class Trainer:
             batch_count=(int(bc) if bc and split == "train" else None),
         )
 
+    def _transfer_cast(self, loader):
+        """--transfer_dtype=bfloat16: quantize f32 batch arrays before
+        grouping/placement so the host link ships half the bytes; the
+        jitted steps upcast to compute precision at entry (cast_floats)."""
+        from erc_tpu.data.loader import MappedLoader, transfer_cast_fn
+
+        cast = transfer_cast_fn(self.params.get("transfer_dtype", "float32"))
+        return MappedLoader(loader, cast) if cast else loader
+
     def _pipeline_train(self, loader):
         """Wrap a raw train loader: K-step grouping (steps_per_call) and
         producer-thread stacking + device placement, so host→HBM transfer
         overlaps the previous step's compute."""
         p = self.params
+        loader = self._transfer_cast(loader)
         spc = max(int(p.get("steps_per_call", 1)), 1)
         if spc > 1:
             from erc_tpu.data.loader import GroupedLoader
@@ -378,6 +403,7 @@ class Trainer:
         --eval_steps_per_call overrides the group size for the forward-only
         stages (0 = inherit steps_per_call)."""
         p = self.params
+        loader = self._transfer_cast(loader)
         spc = int(p.get("eval_steps_per_call", 0) or p.get("steps_per_call", 1))
         spc = max(spc, 1)
         if spc > 1:

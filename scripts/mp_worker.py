@@ -46,6 +46,14 @@ def main():
 
     os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     os.environ.setdefault("ERC_TPU_GIT_SNAPSHOT", "0")
+    # each federated worker must own exactly ONE local device; strip an
+    # inherited virtual-device-count flag (e.g. from a parent test env)
+    # that would multiply the global device count
+    if "XLA_FLAGS" in os.environ:
+        os.environ["XLA_FLAGS"] = " ".join(
+            f for f in os.environ["XLA_FLAGS"].split()
+            if not f.startswith("--xla_force_host_platform_device_count")
+        )
     import jax
 
     # the axon plugin overrides JAX_PLATFORMS; force CPU through jax.config
