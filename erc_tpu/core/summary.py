@@ -67,7 +67,14 @@ def summarize_model(module, rngs, *args, depth: int = 2, **kwargs) -> str:
     variables = jax.eval_shape(lambda: module.init(rngs, *args, **kwargs))
     outputs = jax.eval_shape(lambda v: module.apply(v, *args, **kwargs), variables)
 
-    rows = param_summary(variables.get("params", variables), depth=depth)
+    # table spans every collection: params (trainable) + batch_stats etc.
+    rows = []
+    for coll in variables:
+        coll_rows = param_summary(variables[coll], depth=depth)
+        if coll != "params":
+            for r in coll_rows:
+                r["module"] = f"{coll}/{r['module']}"
+        rows.extend(coll_rows)
     name = type(module).__name__
     w_mod = max([len(r["module"]) for r in rows] + [12])
     lines = ["-" * (w_mod + 30)]
@@ -82,7 +89,10 @@ def summarize_model(module, rngs, *args, depth: int = 2, **kwargs) -> str:
     total_params = sum(r["n_params"] for r in rows)
     total_param_bytes = sum(r["bytes"] for r in rows)
     # collection params counts as trainable; batch_stats etc. as non-trainable
-    trainable = sum(r["n_params"] for r in param_summary(variables.get("params", {}), depth=depth))
+    trainable = sum(
+        r["n_params"]
+        for r in param_summary(variables.get("params", {}), depth=depth)
+    )
     in_bytes = sum(
         prod(s) * dt.itemsize for s, dt in _shape_leaves((args, kwargs))
     )

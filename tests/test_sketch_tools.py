@@ -176,6 +176,29 @@ def test_summarize_model_counts():
     assert all(r["bytes"] == r["n_params"] * 4 for r in rows)
 
 
+def test_summarize_model_counts_non_trainable_collections():
+    import flax.linen as nn
+
+    from erc_tpu.core.summary import summarize_model
+
+    class BNToy(nn.Module):
+        @nn.compact
+        def __call__(self, x, deterministic=True):
+            x = nn.Dense(16, name="enc")(x)
+            return nn.BatchNorm(use_running_average=True, name="bn")(x)
+
+    m = BNToy()
+    x = jnp.zeros((2, 8), jnp.float32)
+    text = summarize_model(m, {"params": jax.random.PRNGKey(0)}, x)
+    # batch_stats (mean+var, 16 each) are in the table and the total,
+    # but not in the trainable count
+    trainable = 8 * 16 + 16 + 2 * 16  # dense + BN scale/bias
+    assert f"Total params: {trainable + 32:,}" in text
+    assert f"Trainable params: {trainable:,}" in text
+    assert f"Non-trainable params: {32:,}" in text
+    assert "batch_stats/" in text
+
+
 def test_summary_cli_on_cogmen(capsys, tmp_path, monkeypatch):
     from erc_tpu import cli
 
