@@ -1,0 +1,476 @@
+"""Differential model/op parity: the REFERENCE's OWN code as the oracle.
+
+tests/test_model_torch_parity.py proves parity against *hand-built* torch
+replicas of the reference math — strong, but a shared misreading of the
+reference source would pass.  The modules here import the reference's own
+files straight from /root/reference (the ones importable with just
+torch/numpy/scipy: track_mm/cogmen_utils.py, track_mm/dagerc_models.py,
+track_mm/mmgcn_models.py, contrib/nn.py, lumo/sketch/audio/*) and run
+them head-to-head against the erc_tpu implementations with ported
+weights, so the reference code itself defines the expected numbers.
+
+Not importable in this container (documented, covered by hand replicas
+elsewhere): track_mm/dgcn_models.py and dgcnv2_models.py (need
+torch_geometric), models/rgcn.py (torch_scatter), track_mm/dagerc.py and
+mmbase.py (need the full lumo/omegaconf stack).
+"""
+
+import importlib.util
+import os
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference tree not present"
+)
+
+ATOL, RTOL = 2e-5, 2e-5
+
+
+def _import_ref(relpath, inject=None, compat=None):
+    """Import a reference file by path (no package context needed for the
+    torch/numpy-only modules tested here).  ``inject`` pre-seeds module
+    globals — used to satisfy `from .audio_tools import *`-style relative
+    imports without building a package.  ``compat`` maps source snippets
+    to replacements for LIBRARY-VERSION drift only (the reference ran on
+    torch≈1.7/numpy≈1.19; e.g. `np.int` was removed, and indexing a torch
+    tensor with a [2, n] numpy array no longer means `adj[i, j]`) — each
+    shim must preserve the original semantics on the original stack."""
+    path = os.path.join(REF, relpath)
+    name = "_refdiff_" + relpath.replace("/", "_").replace(".py", "")
+    with open(path) as f:
+        src = f.read()
+    for old, new in (compat or {}).items():
+        assert old in src, f"compat shim target not found: {old!r}"
+        src = src.replace(old, new)
+    if inject is None and compat is None:
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    mod = types.ModuleType(name)
+    mod.__dict__.update(inject or {})
+    for line in list(src.splitlines()):
+        if line.startswith("from .") and "import" in line:
+            src = src.replace(line, "")
+    exec(compile(src, path, "exec"), mod.__dict__)
+    return mod
+
+
+def t_(x):
+    return torch.from_numpy(np.array(x, np.float32))
+
+
+# =====================================================================
+# COGMEN graph construction: ops.graphs dense masks vs the reference's
+# own batch_graphify/edge_perms (track_mm/cogmen_utils.py:109-172)
+# =====================================================================
+
+
+@pytest.mark.parametrize("wp,wf", [(5, 5), (2, 3), (-1, -1), (3, -1), (-1, 2)])
+def test_cogmen_graphify_differential(wp, wf):
+    from erc_tpu.ops import graphs
+
+    ref = _import_ref("track_mm/cogmen_utils.py")
+    rng = np.random.default_rng(0)
+    lengths = [7, 3, 12]
+    B, L, S, D = len(lengths), max(lengths), 2, 5
+    spk = rng.integers(0, S, (B, L))
+    feats = rng.normal(size=(B, L, D)).astype(np.float32)
+
+    # the reference's edge-type grammar (cogmen.py:124-128)
+    edge_type_to_idx = {}
+    for j in range(S):
+        for k in range(S):
+            edge_type_to_idx[f"{j}{k}0"] = len(edge_type_to_idx)
+            edge_type_to_idx[f"{j}{k}1"] = len(edge_type_to_idx)
+
+    node_f, edge_index, edge_type, eil = ref.batch_graphify(
+        t_(feats), torch.tensor(lengths), torch.tensor(spk), wp, wf,
+        edge_type_to_idx,
+    )
+
+    adj = np.asarray(graphs.window_adjacency(np.array(lengths), L, wp, wf))
+    rel = np.asarray(graphs.relation_ids(spk, S))
+
+    # node features are the mask-selected rows, in dialogue order
+    want_nodes = np.concatenate([feats[b, :ln] for b, ln in enumerate(lengths)])
+    np.testing.assert_allclose(node_f.numpy(), want_nodes, atol=0, rtol=0)
+
+    # every reference edge exists in the dense mask with the same relation
+    offsets = np.cumsum([0] + lengths)
+    ei = edge_index.numpy()
+    et = edge_type.numpy()
+    seen = [set() for _ in lengths]
+    for (u, v), r in zip(ei.T, et):
+        b = int(np.searchsorted(offsets, u, side="right")) - 1
+        lu, lv = int(u - offsets[b]), int(v - offsets[b])
+        assert adj[b, lu, lv] == 1.0, (b, lu, lv, wp, wf)
+        assert rel[b, lu, lv] == r, (b, lu, lv)
+        seen[b].add((lu, lv))
+    # and the dense mask has NO edge the reference lacks
+    for b, ln in enumerate(lengths):
+        got = {
+            (u, v)
+            for u in range(L)
+            for v in range(L)
+            if adj[b, u, v] > 0
+        }
+        assert got == seen[b], f"dialogue {b}"
+    # per-dialogue edge counts
+    np.testing.assert_array_equal(
+        eil.numpy(), np.array([len(s) for s in seen])
+    )
+
+
+# =====================================================================
+# DAG-ERC layer: DAGLayer (scan) vs the reference's own GAT_dialoggcn_v1
+# module + torch GRUCells driving the verbatim reference recurrence
+# (dagerc.py:168-188, dagerc_models.py:312-365)
+# =====================================================================
+
+
+def test_dag_layer_differential_vs_reference_gat():
+    from erc_tpu.models.dagerc import DAGLayer
+    from erc_tpu.ops import graphs
+
+    refm = _import_ref("track_mm/dagerc_models.py")
+    rng = np.random.default_rng(1)
+    B, L, D = 3, 9, 8
+    spk = rng.integers(0, 2, (B, L))
+    lengths = np.full(B, L)
+    H = rng.normal(size=(B, L, D)).astype(np.float32)
+    adj = np.asarray(graphs.dag_adjacency(spk, lengths, L, windowp=1))
+    s_mask = np.asarray(graphs.same_speaker_mask(spk))
+
+    layer = DAGLayer(hidden_dim=D)
+    variables = layer.init(jax.random.PRNGKey(0), jnp.asarray(H), jnp.asarray(adj), jnp.asarray(s_mask))
+    got = np.asarray(layer.apply(variables, jnp.asarray(H), jnp.asarray(adj), jnp.asarray(s_mask)))
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    gat = refm.GAT_dialoggcn_v1(D)
+    gru_c = torch.nn.GRUCell(D, D)
+    gru_p = torch.nn.GRUCell(D, D)
+    with torch.no_grad():
+        gat.linear.weight.copy_(t_(p["att_w"]).T)   # [1, 2D]
+        gat.linear.bias.copy_(t_(p["att_b"]))
+        gat.Wr0.weight.copy_(t_(p["Wr0"]))
+        gat.Wr1.weight.copy_(t_(p["Wr1"]))
+        for cell, pre in ((gru_c, "gru_c"), (gru_p, "gru_p")):
+            cell.weight_ih.copy_(t_(p[f"{pre}_w_ih"]))
+            cell.weight_hh.copy_(t_(p[f"{pre}_w_hh"]))
+            cell.bias_ih.copy_(t_(p[f"{pre}_b_ih"]))
+            cell.bias_hh.copy_(t_(p[f"{pre}_b_hh"]))
+
+    # the reference layer loop, verbatim (dagerc.py:168-188)
+    Ht = t_(H)
+    adj_t, sm_t = t_(adj), t_(s_mask)
+    with torch.no_grad():
+        C = gru_c(Ht[:, 0, :]).unsqueeze(1)
+        M = torch.zeros_like(C).squeeze(1)
+        P = gru_p(M, Ht[:, 0, :]).unsqueeze(1)
+        H1 = C + P
+        for i in range(1, L):
+            _, M = gat(Ht[:, i, :], H1, H1, adj_t[:, i, :i], sm_t[:, i, :i])
+            C = gru_c(Ht[:, i, :], M).unsqueeze(1)
+            P = gru_p(M, Ht[:, i, :]).unsqueeze(1)
+            H1 = torch.cat((H1, C + P), dim=1)
+
+    np.testing.assert_allclose(got, H1.numpy(), atol=ATOL, rtol=RTOL)
+
+
+# =====================================================================
+# MMGCN: GCNIIStack vs the reference's own GCNII_lyc (mmgcn_models.py:
+# 344-394) with ported weights, and mmgcn_big_adjacency vs the
+# reference's own create_big_adj (mmgcn_models.py:582-646)
+# =====================================================================
+
+
+def test_gcnii_differential_vs_reference_module():
+    from erc_tpu.ops.gnn import GCNIIStack
+
+    refm = _import_ref("track_mm/mmgcn_models.py")
+    rng = np.random.default_rng(2)
+    N, nfeat, nh, nlayers = 14, 10, 16, 8
+    x_raw = rng.normal(size=(N, nfeat)).astype(np.float32)
+    # any symmetric normalized adjacency works for the layer math
+    A = rng.uniform(0.0, 1.0, (N, N)).astype(np.float32)
+    A = (A + A.T) / 2
+    d = A.sum(1)
+    A = A / np.sqrt(d)[:, None] / np.sqrt(d)[None, :]
+
+    ref = refm.GCNII_lyc(
+        nfeat=nfeat, nlayers=nlayers, nhidden=nh, nclass=4, dropout=0.0,
+        lamda=0.5, alpha=0.1, variant=True, return_feature=True,
+        use_residue=False,
+    ).eval()
+
+    stack = GCNIIStack(nlayers=nlayers, nhidden=nh, lamda=0.5, alpha=0.1, dropout=0.0)
+    h0 = np.maximum(
+        x_raw @ ref.fcs[0].weight.detach().numpy().T
+        + ref.fcs[0].bias.detach().numpy(),
+        0.0,
+    ).astype(np.float32)
+    Ws = np.stack([c.weight.detach().numpy() for c in ref.convs])  # [nl, 2nh, nh]
+
+    with torch.no_grad():
+        want = ref(t_(x_raw), dia_len=None, topicLabel=None, adj=t_(A)).numpy()
+
+    got = np.asarray(
+        stack.apply(
+            {"params": {"convs": jnp.asarray(Ws)}},
+            jnp.asarray(h0)[None],
+            jnp.asarray(A)[None],
+            deterministic=True,
+        )
+    )[0]
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_create_big_adj_differential():
+    from erc_tpu.ops import graphs
+
+    # old-torch compat: `adj[idx]` with a [2, n] numpy array meant
+    # `adj[idx[0], idx[1]]` on the reference's stack; modern torch treats
+    # it as one index tensor over dim 0
+    refm = _import_ref(
+        "track_mm/mmgcn_models.py",
+        compat={"adj[idx] = dia_sim": "adj[tuple(idx)] = dia_sim"},
+    )
+    rng = np.random.default_rng(3)
+    lengths = [6, 4, 9]
+    B, L, D = len(lengths), max(lengths), 7
+    feats = [
+        rng.normal(size=(B, L, D)).astype(np.float32) + 0.5 for _ in range(3)
+    ]
+    valid = (np.arange(L)[None] < np.array(lengths)[:, None]).astype(np.float32)
+    for f in feats:
+        f *= valid[..., None]  # padded rows zero, like the collator emits
+
+    # reference: flat valid rows per modality, one block-diagonal graph
+    flat = [
+        np.concatenate([f[b, : lengths[b]] for b in range(B)]) for f in feats
+    ]
+    N = sum(lengths)
+    fake_self = types.SimpleNamespace(device="cpu")
+    ref_adj = refm.MMGCN.create_big_adj(
+        fake_self, t_(flat[0]), t_(flat[1]), t_(flat[2]),
+        torch.tensor(lengths), ["a", "v", "l"],
+    ).numpy()
+
+    got = np.asarray(
+        graphs.mmgcn_big_adjacency([jnp.asarray(f) for f in feats], jnp.asarray(valid))
+    )
+
+    # cross-dialogue blocks never interact, so the reference's global
+    # normalization equals the per-dialogue one; map indices and compare
+    offsets = np.cumsum([0] + lengths)
+    for b, ln in enumerate(lengths):
+        ref_idx = np.concatenate(
+            [m * N + offsets[b] + np.arange(ln) for m in range(3)]
+        )
+        got_idx = np.concatenate([m * L + np.arange(ln) for m in range(3)])
+        np.testing.assert_allclose(
+            got[b][np.ix_(got_idx, got_idx)],
+            ref_adj[np.ix_(ref_idx, ref_idx)],
+            atol=1e-4, rtol=1e-4,
+        )
+
+
+def test_matching_attention_general2_differential():
+    from erc_tpu.ops.fusion import MatchingAttention
+
+    refm = _import_ref("track_mm/mmgcn_models.py")
+    rng = np.random.default_rng(4)
+    B, L, Dm, Dc = 3, 6, 10, 8
+    M = rng.normal(size=(B, L, Dm)).astype(np.float32)
+    x = rng.normal(size=(B, Dc)).astype(np.float32)
+    lengths = [6, 3, 4]
+    mask = (np.arange(L)[None] < np.array(lengths)[:, None]).astype(np.float32)
+
+    ref = refm.MatchingAttention(Dm, Dc, att_type="general2").eval()
+    with torch.no_grad():
+        want, want_alpha = ref(
+            t_(M).permute(1, 0, 2), t_(x), t_(mask)
+        )
+
+    mod = MatchingAttention(mem_dim=Dm, cand_dim=Dc, att_type="general2")
+    params = {
+        "transform": {
+            "kernel": jnp.asarray(ref.transform.weight.detach().numpy().T),
+            "bias": jnp.asarray(ref.transform.bias.detach().numpy()),
+        }
+    }
+    got, got_alpha = mod.apply({"params": params}, jnp.asarray(M), jnp.asarray(x), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=ATOL, rtol=RTOL)
+    np.testing.assert_allclose(
+        np.asarray(got_alpha), want_alpha.numpy()[:, 0, :], atol=ATOL, rtol=RTOL
+    )
+
+
+def test_mm_gated_attention_differential():
+    from erc_tpu.ops.fusion import MMGatedAttention
+
+    refm = _import_ref("track_mm/mmgcn_models.py")
+    rng = np.random.default_rng(5)
+    B, Dm = 4, 12
+    a = rng.normal(size=(B, Dm)).astype(np.float32)
+    v = rng.normal(size=(B, Dm)).astype(np.float32)
+    l = rng.normal(size=(B, Dm)).astype(np.float32)
+
+    ref = refm.MMGatedAttention(Dm, Dm, att_type="general").eval()
+    with torch.no_grad():
+        want = ref(t_(a), t_(v), t_(l), modals="atv").numpy()
+
+    mod = MMGatedAttention(mem_dim=Dm, cand_dim=Dm, dropout=0.5)
+
+    def port(lin):
+        return {
+            "kernel": jnp.asarray(lin.weight.detach().numpy().T),
+            "bias": jnp.asarray(lin.bias.detach().numpy()),
+        }
+
+    params = {
+        "transform_a": port(ref.transform_a),
+        "transform_v": port(ref.transform_v),
+        "transform_l": port(ref.transform_l),
+        "transform_av": port(ref.transform_av),
+        "transform_al": port(ref.transform_al),
+        "transform_vl": port(ref.transform_vl),
+    }
+    got = np.asarray(
+        mod.apply({"params": params}, jnp.asarray(a), jnp.asarray(v), jnp.asarray(l),
+                  modals="atv", deterministic=True)
+    )
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
+
+
+# =====================================================================
+# Masked losses (dagerc_models.py:6-46) vs masked_cross_entropy
+# =====================================================================
+
+
+def test_masked_nll_differential():
+    from erc_tpu.train.trainer import masked_cross_entropy
+
+    refm = _import_ref("track_mm/dagerc_models.py")
+    rng = np.random.default_rng(6)
+    B, L, C = 3, 7, 4
+    logits = rng.normal(size=(B, L, C)).astype(np.float32)
+    labels = rng.integers(0, C, (B, L))
+    lengths = [7, 2, 5]
+    mask = (np.arange(L)[None] < np.array(lengths)[:, None]).astype(np.float32)
+
+    logp = torch.log_softmax(t_(logits).reshape(-1, C), dim=-1)
+    tgt = torch.from_numpy(labels.reshape(-1)).long()
+
+    want = refm.MaskedNLLLoss()(logp, tgt, t_(mask))
+    got = masked_cross_entropy(jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(mask))
+    np.testing.assert_allclose(float(got), float(want), atol=ATOL, rtol=RTOL)
+
+    w = rng.uniform(0.5, 2.0, C).astype(np.float32)
+    want_w = refm.MaskedNLLLoss(weight=t_(w))(logp, tgt, t_(mask))
+    got_w = masked_cross_entropy(
+        jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(mask), jnp.asarray(w)
+    )
+    np.testing.assert_allclose(float(got_w), float(want_w), atol=ATOL, rtol=RTOL)
+
+
+# =====================================================================
+# COGMEN encoder vs the reference's own vendored TransformerEncoderLayer
+# (contrib/nn.py:206 — the classes COGMEN actually runs, not stock torch)
+# =====================================================================
+
+
+def test_encoder_layer_differential_vs_vendored_contrib_nn():
+    from erc_tpu.ops.attention import TransformerEncoderLayer
+
+    refnn = _import_ref("contrib/nn.py")
+    torch.manual_seed(0)
+    B, L, E, H = 2, 5, 12, 3
+    ref = refnn.TransformerEncoderLayer(
+        d_model=E, nhead=H, dropout=0.0, batch_first=True
+    ).eval()
+    x = np.random.default_rng(7).normal(size=(B, L, E)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+
+    mod = TransformerEncoderLayer(E, H, dim_feedforward=2048, dropout=0.0)
+    sd = ref.state_dict()
+    params = {
+        "MultiheadAttention_0": {
+            "in_proj_weight": jnp.asarray(sd["self_attn.in_proj_weight"].numpy()),
+            "in_proj_bias": jnp.asarray(sd["self_attn.in_proj_bias"].numpy()),
+            "out_proj_weight": jnp.asarray(sd["self_attn.out_proj.weight"].numpy()),
+            "out_proj_bias": jnp.asarray(sd["self_attn.out_proj.bias"].numpy()),
+        },
+        "LayerNorm_0": {
+            "scale": jnp.asarray(sd["norm1.weight"].numpy()),
+            "bias": jnp.asarray(sd["norm1.bias"].numpy()),
+        },
+        "LayerNorm_1": {
+            "scale": jnp.asarray(sd["norm2.weight"].numpy()),
+            "bias": jnp.asarray(sd["norm2.bias"].numpy()),
+        },
+        "Dense_0": {
+            "kernel": jnp.asarray(sd["linear1.weight"].numpy().T),
+            "bias": jnp.asarray(sd["linear1.bias"].numpy()),
+        },
+        "Dense_1": {
+            "kernel": jnp.asarray(sd["linear2.weight"].numpy().T),
+            "bias": jnp.asarray(sd["linear2.bias"].numpy()),
+        },
+    }
+    got = np.asarray(mod.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+# =====================================================================
+# Energy VAD vs the reference's own unsupervised_vad.py (loop vote)
+# =====================================================================
+
+
+@pytest.fixture(scope="module")
+def ref_vad():
+    # numpy compat: the deprecated `np.int` alias (removed in numpy 1.24)
+    # meant the builtin int
+    tools = _import_ref(
+        "lumo/sketch/audio/audio_tools.py", compat={"np.int(": "int("}
+    )
+    return _import_ref(
+        "lumo/sketch/audio/unsupervised_vad.py", inject=vars(tools)
+    ), tools
+
+
+def test_vad_differential(ref_vad):
+    from erc_tpu.preprocess import vad
+
+    ref, tools = ref_vad
+    rng = np.random.default_rng(8)
+    fs = 16000
+    sig = rng.normal(size=(fs * 2,)).astype(np.float64)
+    sig[fs // 2 : fs] *= 0.01  # a silent stretch
+
+    win, hop = int(fs * 0.025), int(fs * 0.010)
+    frames_ref = tools.enframe(sig, win, hop)
+    frames_got = vad.enframe(sig, win, hop)
+    np.testing.assert_allclose(frames_got, frames_ref, atol=0, rtol=0)
+
+    want = ref.nrg_vad(frames_ref, percent_thr=0.5, nrg_thr=0.0, context=5)
+    got = vad.energy_vad(frames_got, percent_thr=0.5, nrg_thr=0.0, context=5)
+    np.testing.assert_array_equal(got, want[:, 0])
+
+    # deframe: same per-sample expansion (reference writes sequentially —
+    # last writer wins, which the vectorized form reproduces)
+    d_ref = tools.deframe(want, win, hop)
+    d_got = vad.deframe(got, win, hop)
+    np.testing.assert_allclose(d_got[: len(d_ref)], d_ref.reshape(-1)[: len(d_got)])
