@@ -63,6 +63,9 @@ class DAGERCParams(MMBaseParams):
         # gcn_remat; the tail is elementwise+small-matmul, cheap to redo)
         self.dag_remat = True
         self.dag_impl = self.choice("auto", "pallas", "xla")
+        # final nodal attention over the stacked features ("" = identity,
+        # the reference's reimplement default, dagerc.py:83)
+        self.nodal_att_type = self.choice("", "global", "past")
 
     def iparams(self):
         super().iparams()
@@ -408,6 +411,28 @@ class DAGStack(nn.Module):
         return outs
 
 
+class AttentiveNodeFeatures(nn.Module):
+    """Final nodal attention over the stacked features
+    (dagerc_models.py:425-466): alpha = softmax(tanh(transform(H) @ Hᵀ)),
+    masked to valid (and, for 'past', causal) positions then renormalized.
+    The reference's reimplement config keeps nodal_att_type=None
+    (dagerc.py:83); this module backs the 'global'/'past' settings a user
+    can select the same way (--nodal_att_type)."""
+
+    @nn.compact
+    def __call__(self, features, mask, nodal_att_type: str):
+        # features [B, N, V]; mask [B, N] (1 = valid)
+        m = mask[:, None, :].astype(features.dtype)  # (B, 1, N)
+        if nodal_att_type == "past":
+            N = features.shape[1]
+            m = m * jnp.tril(jnp.ones((N, N), features.dtype))[None]
+        x = nn.Dense(features.shape[-1], name="transform")(features)
+        scores = jnp.einsum("bnv,bmv->bnm", x, features)
+        alpha = jax.nn.softmax(jnp.tanh(scores), -1) * m
+        alpha = alpha / jnp.maximum(alpha.sum(-1, keepdims=True), 1e-20)
+        return jnp.einsum("bnm,bmv->bnv", alpha, features)
+
+
 class DAGERCModule(nn.Module):
     """fused=True (default) runs the blockwise-prefix DAGStack (see its
     docstring); fused=False chains per-layer DAGLayer scans — the
@@ -425,6 +450,7 @@ class DAGERCModule(nn.Module):
     remat: bool = False
     impl: str = "auto"
     impl_eval: str = ""
+    nodal_att_type: str = ""  # "" (None) | "global" | "past"
 
     @nn.compact
     def __call__(self, batch, deterministic: bool = True):
@@ -451,6 +477,10 @@ class DAGERCModule(nn.Module):
             for l in range(self.gnn_layers):
                 Hs.append(DAGLayer(self.hidden_dim, name=f"layer_{l}")(Hs[-1], adj, s_mask))
         H = jnp.concatenate(Hs + [x], axis=-1)
+        if self.nodal_att_type:
+            H = AttentiveNodeFeatures(name="nodal_att")(
+                H, mask, self.nodal_att_type
+            )
 
         # out_mlp (dagerc.py:99-106); attentive_node_features is identity
         # for nodal_att_type=None (dagerc.py:83, dagerc_models.py:441-442)
@@ -496,6 +526,7 @@ class DAGERCTrainer(Trainer):
             remat=bool(params.get("dag_remat", True)),
             impl=impl,
             impl_eval=impl_eval,
+            nodal_att_type=str(params.get("nodal_att_type", "") or ""),
         )
         # grad clip 5.0 (dagerc.py:230)
         self.tx = optim_factory.build_optim(params.optim, grad_clip_norm=5.0)

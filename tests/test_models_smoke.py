@@ -91,6 +91,21 @@ def test_dagerc_smoke(tmp_path):
     assert logits.shape == (8, 16, 6)
 
 
+def test_dagerc_nodal_att_smoke(tmp_path):
+    # --nodal_att_type=global: the reference capability beyond the
+    # reimplement default (dagerc_models.py:425-466); finite loss/grads
+    from erc_tpu.models.dagerc import DAGERCParams, DAGERCTrainer
+
+    p = DAGERCParams()
+    p.dataset = "synthetic-cogmen-6"
+    p.max_seq_len = 16
+    p.hidden_dim = 32
+    p.gnn_layers = 2
+    p.nodal_att_type = "global"
+    tr, loss, logits = _run_one_step(DAGERCTrainer, p, tmp_path)
+    assert logits.shape == (8, 16, 6)
+
+
 def test_dagerc_reimplement_hparams():
     from erc_tpu.models.dagerc import DAGERCParams
 

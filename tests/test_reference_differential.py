@@ -354,6 +354,166 @@ def test_mm_gated_attention_differential():
     np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
 
 
+@pytest.mark.parametrize("att_type", ["global", "past"])
+def test_attentive_node_features_differential(att_type):
+    from erc_tpu.models.dagerc import AttentiveNodeFeatures
+
+    refm = _import_ref("track_mm/dagerc_models.py")
+    rng = np.random.default_rng(9)
+    B, N, V = 3, 8, 10
+    feats = rng.normal(size=(B, N, V)).astype(np.float32)
+    lengths = [8, 5, 3]
+    mask = (np.arange(N)[None] < np.array(lengths)[:, None]).astype(np.float32)
+
+    ref = refm.attentive_node_features(V).eval()
+    with torch.no_grad():
+        want = ref(t_(feats), lengths, att_type).numpy()
+
+    mod = AttentiveNodeFeatures()
+    params = {
+        "transform": {
+            "kernel": jnp.asarray(ref.transform.weight.detach().numpy().T),
+            "bias": jnp.asarray(ref.transform.bias.detach().numpy()),
+        }
+    }
+    got = np.asarray(
+        mod.apply({"params": params}, jnp.asarray(feats), jnp.asarray(mask), att_type)
+    )
+    # compare valid rows only: on fully-padded rows (mask all-zero in
+    # 'past' row 0 never happens; global keeps them defined) the reference
+    # divides 0/0 for padded QUERY rows — those rows are dead downstream
+    for b, ln in enumerate(lengths):
+        np.testing.assert_allclose(got[b, :ln], want[b, :ln], atol=ATOL, rtol=RTOL)
+
+
+# =====================================================================
+# MMIN building blocks vs the reference's own mmin_models.py
+# =====================================================================
+
+
+@pytest.fixture(scope="module")
+def ref_mmin():
+    return _import_ref("track_mm/mmin_models.py")
+
+
+def test_mmin_textcnn_differential(ref_mmin):
+    from erc_tpu.models.mmin_models import TextCNN
+
+    rng = np.random.default_rng(10)
+    B, W, D = 3, 12, 20
+    x = rng.normal(size=(B, W, D)).astype(np.float32)
+
+    ref = ref_mmin.TextCNN(D, embd_size=16, out_channels=8).eval()
+    mod = TextCNN(embd_size=16, out_channels=8)
+    params = {}
+    for k, name in zip((3, 4, 5), ("conv1", "conv2", "conv3")):
+        w = getattr(ref, name).weight.detach().numpy()  # [C, 1, k, D]
+        params[f"conv{k}"] = {
+            "kernel": jnp.asarray(np.transpose(w[:, 0], (1, 2, 0))),  # [k, D, C]
+            "bias": jnp.asarray(getattr(ref, name).bias.detach().numpy()),
+        }
+    params["embd"] = {
+        "kernel": jnp.asarray(ref.embd[0].weight.detach().numpy().T),
+        "bias": jnp.asarray(ref.embd[0].bias.detach().numpy()),
+    }
+    with torch.no_grad():
+        want = ref(t_(x)).numpy()
+    got = np.asarray(mod.apply({"params": params}, jnp.asarray(x), deterministic=True))
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
+
+
+@pytest.mark.parametrize("method", ["maxpool", "last", "attention"])
+def test_mmin_lstm_encoder_differential(ref_mmin, method):
+    from erc_tpu.models.mmin_models import LSTMEncoder
+
+    rng = np.random.default_rng(11)
+    B, L, D, H = 3, 9, 6, 8
+    x = rng.normal(size=(B, L, D)).astype(np.float32)
+
+    mod = LSTMEncoder(hidden_size=H, embd_method=method)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    got = np.asarray(mod.apply(variables, jnp.asarray(x), deterministic=True))
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    ref = ref_mmin.LSTMEncoder(D, H, embd_method=method).eval()
+    with torch.no_grad():
+        for nm in ("w_ih", "w_hh", "b_ih", "b_hh"):
+            tgt = f"{'weight' if nm.startswith('w') else 'bias'}_{nm[2:]}_l0"
+            getattr(ref.rnn, tgt).copy_(t_(p["rnn"][f"{nm}_l0"]))
+        if method == "attention":
+            ref.attention_vector_weight.copy_(t_(p["attention_vector_weight"]))
+            ref.attention_layer[0].weight.copy_(t_(p["attention_layer"]["kernel"]).T)
+            ref.attention_layer[0].bias.copy_(t_(p["attention_layer"]["bias"]))
+        want = ref(t_(x)).numpy()
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
+
+
+def test_mmin_residual_ae_differential(ref_mmin):
+    from erc_tpu.models.mmin_models import ResidualAE
+
+    rng = np.random.default_rng(12)
+    B, D = 4, 24
+    layers, n_blocks = [16, 8], 3
+    x = rng.normal(size=(B, D)).astype(np.float32)
+
+    ref = ref_mmin.ResidualAE(list(layers), n_blocks, D, dropout=0, use_bn=False).eval()
+    mod = ResidualAE(layers=tuple(layers), n_blocks=n_blocks, input_dim=D, dropout=0.0)
+
+    def port(lin):
+        return {
+            "kernel": jnp.asarray(lin.weight.detach().numpy().T),
+            "bias": jnp.asarray(lin.bias.detach().numpy()),
+        }
+
+    params = {}
+    for b in range(n_blocks):
+        enc = getattr(ref, f"encoder_{b}")
+        dec = getattr(ref, f"decoder_{b}")
+        # dropout=0 sequential: [Linear, LeakyReLU]*k minus the last act
+        enc_linears = [m for m in enc if isinstance(m, torch.nn.Linear)]
+        dec_linears = [m for m in dec if isinstance(m, torch.nn.Linear)]
+        for i, lin in enumerate(enc_linears):
+            params[f"enc{b}_{i}"] = port(lin)
+        for i, lin in enumerate(dec_linears):
+            params[f"dec{b}_{i}"] = port(lin)
+    params["trans0"] = port(ref.transition[0])
+    params["trans1"] = port(ref.transition[2])
+
+    with torch.no_grad():
+        want, want_lat = ref(t_(x))
+    got, got_lat = mod.apply({"params": params}, jnp.asarray(x), deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=ATOL, rtol=RTOL)
+    np.testing.assert_allclose(np.asarray(got_lat), want_lat.numpy(), atol=ATOL, rtol=RTOL)
+
+
+def test_mmin_classifier_differential(ref_mmin):
+    from erc_tpu.models.mmin_models import Classifier
+
+    rng = np.random.default_rng(13)
+    B, D, C = 5, 14, 4
+    x = rng.normal(size=(B, D)).astype(np.float32)
+
+    ref = ref_mmin.Classifier(D, [10, 8], C, dropout=0.3, use_bn=False).eval()
+    mod = Classifier(layers=(10, 8), output_dim=C, dropout=0.3)
+    linears = [m for m in ref.module if isinstance(m, torch.nn.Linear)]
+    params = {
+        f"fc{i}": {
+            "kernel": jnp.asarray(lin.weight.detach().numpy().T),
+            "bias": jnp.asarray(lin.bias.detach().numpy()),
+        }
+        for i, lin in enumerate(linears)
+    }
+    params["fc_out"] = {
+        "kernel": jnp.asarray(ref.fc_out.weight.detach().numpy().T),
+        "bias": jnp.asarray(ref.fc_out.bias.detach().numpy()),
+    }
+    with torch.no_grad():
+        want_logits, want_feat = ref(t_(x))
+    got_logits, got_feat = mod.apply({"params": params}, jnp.asarray(x), deterministic=True)
+    np.testing.assert_allclose(np.asarray(got_logits), want_logits.numpy(), atol=ATOL, rtol=RTOL)
+    np.testing.assert_allclose(np.asarray(got_feat), want_feat.numpy(), atol=ATOL, rtol=RTOL)
+
+
 # =====================================================================
 # Masked losses (dagerc_models.py:6-46) vs masked_cross_entropy
 # =====================================================================
