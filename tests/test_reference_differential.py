@@ -9,10 +9,13 @@ track_mm/mmgcn_models.py, contrib/nn.py, lumo/sketch/audio/*) and run
 them head-to-head against the erc_tpu implementations with ported
 weights, so the reference code itself defines the expected numbers.
 
-Not importable in this container (documented, covered by hand replicas
-elsewhere): track_mm/dgcn_models.py and dgcnv2_models.py (need
-torch_geometric), models/rgcn.py (torch_scatter), track_mm/dagerc.py and
-mmbase.py (need the full lumo/omegaconf stack).
+dgcnv2_models.py imports torch_geometric/models.rgcn only for classes
+not under test, so stubbing those two modules unlocks its DialogueRNN,
+MaskedEdgeAttention and CNNFeatureExtractor as oracles too.  Still not
+importable (documented, covered by hand replicas elsewhere):
+track_mm/dgcn_models.py (GraphConv used in its forward), models/rgcn.py
+(torch_scatter), track_mm/dagerc.py and mmbase.py (full lumo/omegaconf
+stack).
 """
 
 import importlib.util
@@ -543,6 +546,166 @@ def test_masked_nll_differential():
         jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(mask), jnp.asarray(w)
     )
     np.testing.assert_allclose(float(got_w), float(want_w), atol=ATOL, rtol=RTOL)
+
+
+# =====================================================================
+# dgcnv2: the file needs torch_geometric/models.rgcn only for classes
+# not under test (GraphConv/RGCNConv reach __init__ of GraphNetwork);
+# stub those imports to unlock the reference's own DialogueRNN,
+# MaskedEdgeAttention and CNNFeatureExtractor as oracles.
+# =====================================================================
+
+
+@pytest.fixture(scope="module")
+def ref_dgcnv2():
+    import sys
+
+    stubs = {}
+    tg = types.ModuleType("torch_geometric")
+    tgnn = types.ModuleType("torch_geometric.nn")
+    tgnn.GraphConv = type("GraphConv", (), {})
+    tg.nn = tgnn
+    models_pkg = types.ModuleType("models")
+    rgcn = types.ModuleType("models.rgcn")
+    rgcn.RGCNConv = type("RGCNConv", (), {})
+    models_pkg.rgcn = rgcn
+    for name, mod in (
+        ("torch_geometric", tg), ("torch_geometric.nn", tgnn),
+        ("models", models_pkg), ("models.rgcn", rgcn),
+    ):
+        if name not in sys.modules:
+            sys.modules[name] = mod
+            stubs[name] = mod
+    try:
+        yield _import_ref(
+            "track_mm/dgcnv2_models.py",
+            # old-torch compat: indexing with one [3, E] numpy array meant
+            # mask[i, u, v] on the reference's stack
+            compat={
+                "mask[edge_ind_] = 1": "mask[tuple(edge_ind_)] = 1",
+                "mask_copy[edge_ind_] = 1": "mask_copy[tuple(edge_ind_)] = 1",
+            },
+        )
+    finally:
+        for name in stubs:
+            sys.modules.pop(name, None)
+
+
+def test_dialoguernn_differential(ref_dgcnv2):
+    from erc_tpu.models.dgcnv2 import DialogueRNNScan
+
+    rng = np.random.default_rng(14)
+    B, L, P = 3, 7, 2
+    D_m, D_g, D_p, D_e = 10, 6, 5, 4
+    U = rng.normal(size=(B, L, D_m)).astype(np.float32)
+    spk = rng.integers(0, P, (B, L))
+    qmask = np.eye(P, dtype=np.float32)[spk]  # [B, L, P]
+
+    mod = DialogueRNNScan(D_m=D_m, D_g=D_g, D_p=D_p, D_e=D_e, dropout=0.0, n_parties=P)
+    variables = mod.init(
+        jax.random.PRNGKey(0), jnp.asarray(U), jnp.asarray(qmask),
+        jnp.ones((B, L), jnp.float32),
+    )
+    got = np.asarray(
+        mod.apply(variables, jnp.asarray(U), jnp.asarray(qmask),
+                  jnp.ones((B, L), jnp.float32), deterministic=True)
+    )
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    ref = ref_dgcnv2.DialogueRNN(
+        D_m, D_g, D_p, D_e, listener_state=False,
+        context_attention="general", D_a=100, dropout=0.0,
+    ).eval()
+    cell = ref.dialogue_cell
+    with torch.no_grad():
+        for tcell, nm in ((cell.g_cell, "g_cell"), (cell.p_cell, "p_cell"), (cell.e_cell, "e_cell")):
+            tcell.weight_ih.copy_(t_(p[f"{nm}_w_ih"]))
+            tcell.weight_hh.copy_(t_(p[f"{nm}_w_hh"]))
+            tcell.bias_ih.copy_(t_(p[f"{nm}_b_ih"]))
+            tcell.bias_hh.copy_(t_(p[f"{nm}_b_hh"]))
+        cell.attention.transform.weight.copy_(t_(p["att_transform"]))
+        # reference wants [seq, batch, ...]
+        want, _ = ref(t_(U).permute(1, 0, 2), t_(qmask).permute(1, 0, 2))
+    np.testing.assert_allclose(
+        got, want.permute(1, 0, 2).numpy(), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_masked_edge_attention_differential(ref_dgcnv2):
+    from erc_tpu.models.dgcnv2 import MaskedEdgeAttentionDense
+
+    rng = np.random.default_rng(15)
+    B, L, D, wp, wf = 3, 8, 6, 2, 2
+    max_seq_len = 10
+    x = rng.normal(size=(B, L, D)).astype(np.float32)
+    lengths = [8, 4, 6]
+
+    mod = MaskedEdgeAttentionDense(input_dim=D, max_seq_len=max_seq_len, wp=wp, wf=wf)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(lengths))
+    got = np.asarray(mod.apply(variables, jnp.asarray(x), jnp.asarray(np.array(lengths))))
+    W = np.asarray(variables["params"]["scalar"])
+
+    ref = ref_dgcnv2.MaskedEdgeAttention(D, max_seq_len).eval()
+    with torch.no_grad():
+        ref.scalar.weight.copy_(t_(W))
+        edge_ind = [
+            ref_dgcnv2.edge_perms(torch.tensor(ln), wp, wf) for ln in lengths
+        ]
+        want = ref(t_(x).permute(1, 0, 2), lengths, edge_ind).numpy()
+
+    # the reference seeds non-edges with alpha*1e-10 in the renormalizing
+    # sum (a no-op at f32 scale) and returns scores padded to max_seq_len
+    for b, ln in enumerate(lengths):
+        for u in range(ln):
+            for v in range(ln):
+                np.testing.assert_allclose(
+                    got[b, u, v], want[b, u, v], atol=1e-5, rtol=1e-4
+                )
+    # zero outside edges
+    assert np.allclose(got * (np.asarray(want[:, :L, :L]) == 0), 0.0, atol=1e-6)
+
+
+def test_dgcnv2_cnn_feature_extractor_differential(ref_dgcnv2):
+    from erc_tpu.models.dgcnv2 import CNNFeatureExtractor
+
+    rng = np.random.default_rng(16)
+    B, L, W, V, E, F_, O = 2, 4, 9, 40, 12, 5, 7
+    tokens = rng.integers(0, V, (B, L, W))
+    umask = (np.arange(L)[None] < np.array([4, 2])[:, None]).astype(np.float32)
+
+    ref = ref_dgcnv2.CNNFeatureExtractor(
+        V, embedding_dim=E, output_size=O, filters=F_,
+        kernel_sizes=(3, 4, 5), dropout=0.5,
+    ).eval()
+    mod = CNNFeatureExtractor(
+        vocab_size=V, embedding_dim=E, output_size=O, filters=F_,
+        kernel_sizes=(3, 4, 5), dropout=0.5,
+    )
+    params = {
+        "embedding": {"embedding": jnp.asarray(ref.embedding.weight.detach().numpy())},
+        "fc": {
+            "kernel": jnp.asarray(ref.fc.weight.detach().numpy().T),
+            "bias": jnp.asarray(ref.fc.bias.detach().numpy()),
+        },
+    }
+    for K, conv in zip((3, 4, 5), ref.convs):
+        w = conv.weight.detach().numpy()  # [F, E, K]
+        params[f"conv_{K}"] = {
+            "kernel": jnp.asarray(np.transpose(w, (2, 1, 0))),
+            "bias": jnp.asarray(conv.bias.detach().numpy()),
+        }
+    with torch.no_grad():
+        # reference wants [utt, batch, words] and umask [batch, utt]
+        want = ref(
+            torch.from_numpy(tokens).permute(1, 0, 2).contiguous(), t_(umask)
+        )
+    got = np.asarray(
+        mod.apply({"params": params}, jnp.asarray(tokens), jnp.asarray(umask),
+                  deterministic=True)
+    )
+    np.testing.assert_allclose(
+        got, want.permute(1, 0, 2).numpy(), atol=ATOL, rtol=RTOL
+    )
 
 
 # =====================================================================
