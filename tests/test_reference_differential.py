@@ -9,13 +9,14 @@ track_mm/mmgcn_models.py, contrib/nn.py, lumo/sketch/audio/*) and run
 them head-to-head against the erc_tpu implementations with ported
 weights, so the reference code itself defines the expected numbers.
 
-dgcnv2_models.py imports torch_geometric/models.rgcn only for classes
-not under test, so stubbing those two modules unlocks its DialogueRNN,
-MaskedEdgeAttention and CNNFeatureExtractor as oracles too.  Still not
-importable (documented, covered by hand replicas elsewhere):
-track_mm/dgcn_models.py (GraphConv used in its forward), models/rgcn.py
-(torch_scatter), track_mm/dagerc.py and mmbase.py (full lumo/omegaconf
-stack).
+dgcn(v2)_models.py import torch_geometric/models.rgcn only for classes
+not under test, so stubbing those two modules unlocks the reference's
+DialogueRNN, MaskedEdgeAttention, CNNFeatureExtractor, EdgeAtt and
+packed SeqContext as oracles too.  Still not importable (documented,
+covered by hand replicas elsewhere): the RGCN/GraphConv graph convs
+themselves (models/rgcn.py needs torch_scatter; PyG-semantics parity
+lives in test_model_torch_parity/test_ops_gnn), and track_mm/dagerc.py /
+mmbase.py (full lumo/omegaconf stack).
 """
 
 import importlib.util
@@ -706,6 +707,95 @@ def test_dgcnv2_cnn_feature_extractor_differential(ref_dgcnv2):
     np.testing.assert_allclose(
         got, want.permute(1, 0, 2).numpy(), atol=ATOL, rtol=RTOL
     )
+
+
+# =====================================================================
+# dgcn: EdgeAtt + packed SeqContext don't touch the torch_geometric
+# classes either — same stub trick as dgcnv2
+# =====================================================================
+
+
+@pytest.fixture(scope="module")
+def ref_dgcn():
+    import sys
+
+    stubs = {}
+    tg = types.ModuleType("torch_geometric")
+    tgnn = types.ModuleType("torch_geometric.nn")
+    tgnn.GraphConv = type("GraphConv", (), {})
+    tg.nn = tgnn
+    models_pkg = types.ModuleType("models")
+    rgcn = types.ModuleType("models.rgcn")
+    rgcn.RGCNConv = type("RGCNConv", (), {})
+    models_pkg.rgcn = rgcn
+    for name, mod in (
+        ("torch_geometric", tg), ("torch_geometric.nn", tgnn),
+        ("models", models_pkg), ("models.rgcn", rgcn),
+    ):
+        if name not in sys.modules:
+            sys.modules[name] = mod
+            stubs[name] = mod
+    try:
+        yield _import_ref("track_mm/dgcn_models.py")
+    finally:
+        for name in stubs:
+            sys.modules.pop(name, None)
+
+
+def test_dgcn_edge_att_differential(ref_dgcn):
+    from erc_tpu.models.dgcn import EdgeAtt
+
+    rng = np.random.default_rng(17)
+    B, L, D, wp, wf = 3, 9, 6, 2, 3
+    x = rng.normal(size=(B, L, D)).astype(np.float32)
+    lengths = [9, 5, 7]
+
+    mod = EdgeAtt(wp=wp, wf=wf)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(np.array(lengths)))
+    got = np.asarray(mod.apply(variables, jnp.asarray(x), jnp.asarray(np.array(lengths))))
+    W = np.asarray(variables["params"]["weight"])
+
+    ref = ref_dgcn.EdgeAtt(D, wp, wf).eval()
+    with torch.no_grad():
+        ref.weight.copy_(t_(W))
+        want = ref(t_(x), torch.tensor(lengths), None)  # list of [L, 110]
+
+    for b, ln in enumerate(lengths):
+        np.testing.assert_allclose(
+            got[b, :ln, :ln], want[b].numpy()[:ln, :ln], atol=ATOL, rtol=RTOL
+        )
+        # nothing outside the reference's buffer region
+        assert np.allclose(got[b, ln:], 0.0) and np.allclose(got[b, :, ln:], 0.0)
+
+
+def test_dgcn_seq_context_differential(ref_dgcn):
+    from erc_tpu.ops.rnn import BiRNN
+
+    rng = np.random.default_rng(18)
+    B, L, D, G = 3, 8, 5, 6  # g_dim=6 → hidden 3 per direction
+    x = rng.normal(size=(B, L, D)).astype(np.float32)
+    lengths = [8, 4, 6]
+    mask = (np.arange(L)[None] < np.array(lengths)[:, None]).astype(np.float32)
+
+    mod = BiRNN(hidden_size=G // 2, num_layers=2, cell="lstm", bidirectional=True)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(mask))
+    got = np.asarray(mod.apply(variables, jnp.asarray(x), jnp.asarray(mask), deterministic=True))
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    ref = ref_dgcn.SeqContext(D, G, dropout=0.0, rnn_type="lstm").eval()
+    with torch.no_grad():
+        for layer in range(2):
+            for rev in ("", "_reverse"):
+                for nm in ("w_ih", "w_hh", "b_ih", "b_hh"):
+                    tgt = f"{'weight' if nm.startswith('w') else 'bias'}_{nm[2:]}_l{layer}{rev}"
+                    getattr(ref.rnn, tgt).copy_(t_(p[f"{nm}_l{layer}{rev}"]))
+        want = ref(torch.tensor(lengths), t_(x)).numpy()  # packed → padded
+
+    for b, ln in enumerate(lengths):
+        np.testing.assert_allclose(got[b, :ln], want[b, :ln], atol=1e-4, rtol=1e-4)
+        # pad_packed_sequence zero-fills the tail; ours must match there too
+        np.testing.assert_allclose(got[b, ln:] * 0 + got[b, ln:], got[b, ln:])
+        assert np.allclose(want[b, ln:], 0.0)
 
 
 # =====================================================================
