@@ -124,14 +124,21 @@ class AutoResume(Callback):
     resume at eidx+1, mid-epoch ones re-run the interrupted epoch)."""
 
     def train_begin(self, tr):
-        latest = tr.saver.latest_checkpoint()
-        if not latest:
+        # newest first; Saver writes are atomic (tmp+rename), but a file can
+        # still arrive corrupt (partial disk, torn copy) — fall back through
+        # older checkpoints instead of dying on the newest
+        candidates = list(reversed(tr.saver.list_checkpoints()))
+        if not candidates:
             # a relaunched (preempted) job gets a FRESH test dir, so its own
-            # saver is empty — fall back to the newest sibling run of the
-            # same experiment with a matching params hash
-            latest = self._latest_sibling_checkpoint(tr)
-        if latest:
-            tr.load_checkpoint(latest)
+            # saver is empty — fall back to sibling runs of the same
+            # experiment with a matching params hash, newest first
+            candidates = self._sibling_checkpoints(tr)
+        for latest in candidates:
+            try:
+                tr.load_checkpoint(latest)
+            except Exception as e:  # corrupt/truncated → try the next-oldest
+                tr.logger.warn(f"unreadable checkpoint {latest}: {e!r}")
+                continue
             meta_path = latest + ".json"
             if os.path.exists(meta_path):
                 with open(meta_path) as f:
@@ -144,9 +151,12 @@ class AutoResume(Callback):
                 f"auto-resumed from {latest} (eidx={tr.eidx}, "
                 f"global_steps={tr.global_steps})"
             )
+            return
 
     @staticmethod
-    def _latest_sibling_checkpoint(tr):
+    def _sibling_checkpoints(tr):
+        """All hash-matching sibling checkpoints, newest first — a list so
+        the resume loop can fall back past a corrupt newest sibling too."""
         import glob
 
         exp_blob = os.path.dirname(tr.exp.blob_dir)  # <blobroot>/<exp_name>
@@ -167,7 +177,13 @@ class AutoResume(Callback):
             if h != want_hash:
                 continue  # different (or unknown) config — do not resume
             candidates.append(path)
-        return max(candidates, key=os.path.getmtime) if candidates else None
+        return sorted(candidates, key=os.path.getmtime, reverse=True)
+
+    # kept for callers/tests that probe the single-newest behavior
+    @classmethod
+    def _latest_sibling_checkpoint(cls, tr):
+        sibs = cls._sibling_checkpoints(tr)
+        return sibs[0] if sibs else None
 
 
 class EvalFirst(Callback):

@@ -43,11 +43,20 @@ class Saver:
     def _write(self, path: str, tree: Any, meta: Optional[Dict] = None):
         if not self.write:
             return path
-        with open(path, "wb") as f:
-            f.write(serialization.to_bytes(_to_host(tree)))
+        # atomic: a preemption mid-write must never leave a truncated
+        # .ckpt where the latest checkpoint should be — AutoResume picks
+        # the newest file by name, so write to a tmp and rename (atomic on
+        # one filesystem).  Meta lands first: a .ckpt without meta resumes
+        # with defaults, but meta without .ckpt is never read.
         if meta is not None:
-            with open(path + ".json", "w") as f:
+            tmp_meta = path + ".json.tmp"
+            with open(tmp_meta, "w") as f:
                 json.dump(meta, f, indent=2, default=str)
+            os.replace(tmp_meta, path + ".json")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(serialization.to_bytes(_to_host(tree)))
+        os.replace(tmp, path)
         return path
 
     def load_into(self, path: str, target: Any) -> Any:

@@ -65,6 +65,33 @@ def test_epoch_checkpoint_and_auto_resume(tmp_path):
         np.testing.assert_array_equal(x, y)
 
 
+def test_auto_resume_survives_truncated_latest_checkpoint(tmp_path):
+    """A crash can leave a corrupt newest checkpoint (torn copy, partial
+    disk); resume must fall back to the previous intact one instead of
+    dying.  Saver writes themselves are atomic (tmp+rename) — also checked:
+    no .tmp litter after saves."""
+    tr = _trainer(tmp_path, checkpoint_per_epoch=1, epoch=2)
+    tr.train()
+    cps = tr.saver.list_checkpoints()
+    assert len(cps) >= 2
+    assert not [f for f in os.listdir(tr.saver.save_dir) if f.endswith(".tmp")]
+
+    with open(cps[-1], "r+b") as f:  # truncate the newest mid-"write"
+        f.truncate(37)
+
+    tr2 = _trainer(tmp_path, resume=True, epoch=2)
+    tr2.exp = tr.exp
+    tr2.saver = tr.saver
+    tr2.initialize()
+    from erc_tpu.train.callbacks import AutoResume
+
+    AutoResume().train_begin(tr2)
+    # resumed from the intact previous checkpoint (its meta carries eidx)
+    meta = json.load(open(cps[-2] + ".json"))
+    assert tr2.eidx == int(meta["eidx"]) + 1
+    assert tr2.global_steps == int(meta["global_steps"])
+
+
 def test_nan_guard(tmp_path):
     tr = _trainer(tmp_path)
     tr.initialize()
@@ -172,3 +199,19 @@ def test_auto_resume_finds_sibling_run(tmp_path):
     tr3.params.optim.lr = 0.0123  # arch/optim change → different resume_hash
     tr3.train()
     assert _train_epochs_run(tr3) == 1  # fresh epoch 0
+
+    # a CORRUPT newest sibling checkpoint must fall back to the next-oldest
+    # intact one (same loop as own-run fallback, across runs)
+    newest = max(
+        (p for p in (tr1.saver.list_checkpoints() + tr2.saver.list_checkpoints())),
+        key=os.path.getmtime,
+    )
+    with open(newest, "r+b") as f:
+        f.truncate(29)
+    tr4 = _trainer(tmp_path, checkpoint_per_epoch=1, resume=True, epoch=3)
+    tr4.initialize()
+    from erc_tpu.train.callbacks import AutoResume
+
+    AutoResume().train_begin(tr4)
+    assert tr4.global_steps > 0  # resumed from an intact sibling
+    assert tr4.global_steps < 3 * steps_per_epoch  # not the corrupt newest
