@@ -42,6 +42,8 @@ class CIMParams(MMBaseParams):
         self.apply_bin = True
         self.metric = "multiemo"
         self.hidden_size = 200
+        # one fused scan for the three modality biGRUs (see CIMModule)
+        self.fused_rnn = True
 
     def iparams(self):
         super().iparams()
@@ -62,6 +64,11 @@ class CIMModule(nn.Module):
     n_classes: int
     drop0: float = 0.3
     drop1: float = 0.3
+    # run the three modality biGRUs as ONE scan (6 direction-chains on the
+    # batch axis): the model is recurrence-latency bound (BENCH_MATRIX CIM
+    # section), so 1/3 the sequential steps is the lever.  Same math,
+    # same param tree; False falls back to three separate scans.
+    fused_rnn: bool = True
 
     @nn.compact
     def __call__(self, batch, deterministic: bool = True):
@@ -72,13 +79,32 @@ class CIMModule(nn.Module):
                 return nn.Dropout(rate)(t, deterministic=False)
             return t
 
+        modalities = (("a", "audio_feature"), ("v", "visual_feature"), ("t", "text_feature"))
+        encoded = {}
+        if self.fused_rnn:
+            from erc_tpu.ops.rnn import _scan_multichain
+
+            parts = [
+                BiRNN(
+                    hidden_size=self.hidden_size, num_layers=1, cell="gru",
+                    bidirectional=True, name=f"rnn_{m}",
+                )(batch[key], mask, deterministic=deterministic, return_parts=True)
+                for m, key in modalities
+            ]
+            for (m, _), (y_f, y_b) in zip(
+                modalities, _scan_multichain(parts, mask, lstm=False)
+            ):
+                encoded[m] = jnp.concatenate([y_f, y_b], -1)
+        else:
+            for m, key in modalities:
+                encoded[m] = BiRNN(
+                    hidden_size=self.hidden_size, num_layers=1, cell="gru",
+                    bidirectional=True, name=f"rnn_{m}",
+                )(batch[key], mask, deterministic=deterministic)
+
         dense = {}
-        for m, key in (("a", "audio_feature"), ("v", "visual_feature"), ("t", "text_feature")):
-            h = BiRNN(
-                hidden_size=self.hidden_size, num_layers=1, cell="gru",
-                bidirectional=True, name=f"rnn_{m}",
-            )(batch[key], mask, deterministic=deterministic)
-            h = drop(h, self.drop0)
+        for m, _ in modalities:
+            h = drop(encoded[m], self.drop0)
             h = nn.relu(nn.Dense(100, name=f"adapter_{m}")(h))
             dense[m] = drop(h, self.drop1)
 
@@ -126,6 +152,7 @@ class CIMTrainer(Trainer):
             visual_dim=params.hidden_visual,
             hidden_size=params.hidden_size,
             n_classes=params.n_classes,
+            fused_rnn=bool(params.get("fused_rnn", True)),
         )
         self.tx = optim_factory.build_optim(params.optim)
 

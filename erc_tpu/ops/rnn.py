@@ -137,22 +137,44 @@ def _scan_bidirectional(x_proj_f, x_proj_b, mask, w_hh_f, w_hh_b, b_hh_f,
     Numerically identical to two `_scan_direction` calls (golden-tested
     against torch.nn.LSTM/GRU in test_ops_rnn).
     """
-    B = x_proj_f.shape[0]
-    H = w_hh_f.shape[1]
-    xs = jnp.concatenate(
-        [jnp.swapaxes(x_proj_f, 0, 1), jnp.swapaxes(x_proj_b, 0, 1)[::-1]], axis=1
-    )  # [L, 2B, GH]
-    ms_half = jnp.swapaxes(mask, 0, 1)[..., None]  # [L, B, 1]
-    ms = jnp.concatenate([ms_half, ms_half[::-1]], axis=1)  # [L, 2B, 1]
-    w_hh = jnp.concatenate([w_hh_f[None], w_hh_b[None]], 0)  # [2, GH, H]
-    b_hh = jnp.concatenate([b_hh_f[None], b_hh_b[None]], 0)[:, None]  # [2,1,GH]
+    (y_f, y_b), = _scan_multichain(
+        [(x_proj_f, x_proj_b, w_hh_f, w_hh_b, b_hh_f, b_hh_b)], mask, lstm
+    )
+    return y_f, y_b
 
-    def hh(h):  # [2B, H] → [2B, GH], per-direction weights
-        h2 = h.reshape(2, B, H)
+
+def _scan_multichain(parts, mask, lstm: bool):
+    """K independent bidirectional recurrences in ONE scan.
+
+    ``parts``: list of (x_proj_f, x_proj_b, w_hh_f, w_hh_b, b_hh_f, b_hh_b),
+    all with the same hidden size and the same [B, L] mask.  Sequential
+    scan steps are the recurrence bottleneck on TPU (each cell is a tiny
+    latency-bound matmul), so K chains × 2 directions ride one scan as a
+    [2K·B, H] batch: 1/K-th the sequential steps of K separate scans and
+    per-step matmuls K× wider.  Per-chain math is untouched (each output
+    element contracts only over its own chain's H), so results match the
+    separate scans — CIM's three modality GRUs are the user (cim.py
+    fused_rnn).  Returns [(y_f, y_b)] per chain.
+    """
+    K = len(parts)
+    B = parts[0][0].shape[0]
+    H = parts[0][2].shape[1]
+    xs = jnp.concatenate(
+        [jnp.swapaxes(p[0], 0, 1) for p in parts]
+        + [jnp.swapaxes(p[1], 0, 1)[::-1] for p in parts],
+        axis=1,
+    )  # [L, 2KB, GH]
+    ms_half = jnp.swapaxes(mask, 0, 1)[..., None]  # [L, B, 1]
+    ms = jnp.concatenate([ms_half] * K + [ms_half[::-1]] * K, axis=1)
+    w_hh = jnp.stack([p[2] for p in parts] + [p[3] for p in parts])  # [2K, GH, H]
+    b_hh = jnp.stack([p[4] for p in parts] + [p[5] for p in parts])[:, None]
+
+    def hh(h):  # [2KB, H] → [2KB, GH], per-chain/direction weights
+        h2 = h.reshape(2 * K, B, H)
         return (
             jnp.einsum("dbh,dgh->dbg", h2, w_hh, preferred_element_type=jnp.float32)
             .astype(h.dtype) + b_hh
-        ).reshape(2 * B, -1)
+        ).reshape(2 * K * B, -1)
 
     if lstm:
 
@@ -172,8 +194,8 @@ def _scan_bidirectional(x_proj_f, x_proj_b, mask, w_hh_f, w_hh_b, b_hh_f,
             c = m * c2 + (1 - m) * c
             return (h, c), m * h2
 
-        init = (jnp.zeros((2 * B, H), x_proj_f.dtype),
-                jnp.zeros((2 * B, H), x_proj_f.dtype))
+        init = (jnp.zeros((2 * K * B, H), xs.dtype),
+                jnp.zeros((2 * K * B, H), xs.dtype))
     else:
 
         def step(carry, inp):
@@ -189,12 +211,16 @@ def _scan_bidirectional(x_proj_f, x_proj_b, mask, w_hh_f, w_hh_b, b_hh_f,
             h = m * h2 + (1 - m) * h
             return h, m * h2
 
-        init = jnp.zeros((2 * B, H), x_proj_f.dtype)
+        init = jnp.zeros((2 * K * B, H), xs.dtype)
 
-    _, ys = jax.lax.scan(step, init, (xs, ms))  # [L, 2B, H]
-    y_f = jnp.swapaxes(ys[:, :B], 0, 1)
-    y_b = jnp.swapaxes(ys[::-1, B:], 0, 1)
-    return y_f, y_b
+    _, ys = jax.lax.scan(step, init, (xs, ms))  # [L, 2KB, H]
+    ys_rev = ys[::-1]
+    out = []
+    for k in range(K):
+        y_f = jnp.swapaxes(ys[:, k * B : (k + 1) * B], 0, 1)
+        y_b = jnp.swapaxes(ys_rev[:, (K + k) * B : (K + k + 1) * B], 0, 1)
+        out.append((y_f, y_b))
+    return out
 
 
 class BiRNN(nn.Module):
@@ -211,7 +237,14 @@ class BiRNN(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, mask, deterministic: bool = True):
+    def __call__(self, x, mask, deterministic: bool = True,
+                 return_parts: bool = False):
+        """return_parts=True (1-layer bidirectional only) creates the same
+        params but returns the pre-scan pieces
+        (x_proj_f, x_proj_b, w_hh_f, w_hh_b, b_hh_f, b_hh_b) instead of
+        running the recurrence — callers with several same-H encoders fuse
+        them through ONE `_scan_multichain` (K× fewer sequential steps;
+        see cim.py fused_rnn)."""
         H = self.hidden_size
         G = 4 if self.cell == "lstm" else 3
         scale = 1.0 / jnp.sqrt(H)
@@ -231,6 +264,11 @@ class BiRNN(nn.Module):
                 # fused single scan over both directions (half the
                 # sequential steps, 2B-row per-step matmuls)
                 (wf, whf, bf, bhf), (wb, whb, bb, bhb) = prm[False], prm[True]
+                if return_parts:
+                    if self.num_layers != 1:
+                        raise ValueError("return_parts needs num_layers=1")
+                    return (out @ wf.T + bf, out @ wb.T + bb,
+                            whf, whb, bhf, bhb)
                 y_f, y_b = _scan_bidirectional(
                     out @ wf.T + bf, out @ wb.T + bb, mask,
                     whf, whb, bhf, bhb, self.cell == "lstm",

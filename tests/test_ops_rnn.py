@@ -49,6 +49,63 @@ def test_birnn_matches_torch_packed(cell, bidi, layers):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+def test_scan_multichain_matches_separate_scans(cell):
+    """K chains through one scan ≡ K separate bidirectional scans (the
+    CIM fused_rnn mechanism)."""
+    from erc_tpu.ops.rnn import _scan_bidirectional, _scan_multichain
+
+    rng = np.random.default_rng(0)
+    B, L, H, G = 3, 7, 5, (4 if cell == "lstm" else 3)
+    lengths = [7, 4, 6]
+    mask = jnp.asarray(
+        (np.arange(L)[None] < np.array(lengths)[:, None]).astype(np.float32)
+    )
+    parts = []
+    for k, D in enumerate((6, 9, 4)):  # per-chain input dims differ
+        xf = jnp.asarray(rng.normal(size=(B, L, G * H)).astype(np.float32))
+        xb = jnp.asarray(rng.normal(size=(B, L, G * H)).astype(np.float32))
+        whf = jnp.asarray(rng.normal(size=(G * H, H)).astype(np.float32))
+        whb = jnp.asarray(rng.normal(size=(G * H, H)).astype(np.float32))
+        bhf = jnp.asarray(rng.normal(size=(G * H,)).astype(np.float32))
+        bhb = jnp.asarray(rng.normal(size=(G * H,)).astype(np.float32))
+        parts.append((xf, xb, whf, whb, bhf, bhb))
+
+    fused = _scan_multichain(parts, mask, lstm=(cell == "lstm"))
+    for part, (got_f, got_b) in zip(parts, fused):
+        want_f, want_b = _scan_bidirectional(*part[:2], mask, *part[2:],
+                                             lstm=(cell == "lstm"))
+        np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                                   atol=1e-6, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b),
+                                   atol=1e-6, rtol=1e-6)
+
+
+def test_cim_fused_rnn_matches_unfused():
+    """CIMModule(fused_rnn=True) ≡ fused_rnn=False on the same params."""
+    from erc_tpu.models.cim import CIMModule
+
+    rng = np.random.default_rng(1)
+    B, L = 2, 6
+    batch = {
+        "attention_mask": jnp.asarray(
+            (np.arange(L)[None] < np.array([6, 3])[:, None]).astype(np.float32)
+        ),
+        "audio_feature": jnp.asarray(rng.normal(size=(B, L, 8)).astype(np.float32)),
+        "visual_feature": jnp.asarray(rng.normal(size=(B, L, 10)).astype(np.float32)),
+        "text_feature": jnp.asarray(rng.normal(size=(B, L, 12)).astype(np.float32)),
+    }
+    kw = dict(text_dim=12, audio_dim=8, visual_dim=10, hidden_size=16, n_classes=4)
+    fused = CIMModule(fused_rnn=True, **kw)
+    variables = fused.init(jax.random.PRNGKey(0), batch, deterministic=True)
+    l2_f, l7_f = fused.apply(variables, batch, deterministic=True)
+    l2_u, l7_u = CIMModule(fused_rnn=False, **kw).apply(
+        variables, batch, deterministic=True
+    )
+    np.testing.assert_allclose(np.asarray(l2_f), np.asarray(l2_u), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(l7_f), np.asarray(l7_u), atol=1e-5, rtol=1e-5)
+
+
 def test_grucell_matches_torch():
     torch.manual_seed(1)
     B, D, H = 4, 6, 5
