@@ -44,12 +44,11 @@ class InferenceEngine:
         p = params_cls()
         if dataset:
             p.dataset = dataset
-        # serving is forward-only: the banded graph path reliably wins
-        # eval on v5e (BENCH_MATRIX.md: 7.4-10.5k vs 3.8-8.2k dia/s)
-        # while the train-side dense/banded gap is noise — prefer banded
-        # here unless the caller overrides
-        if "graph_impl" not in param_overrides and p.get("graph_impl") == "auto":
-            p.graph_impl = "banded"
+        # graph_impl stays on 'auto' (resolves to dense): the early-round
+        # banded-eval edge inverted after the dense path's MXU restructure —
+        # the current matrix has dense winning eval on both cogmen
+        # (32.1k ≈ 32.5k) and dgcn (44.3k vs 31.7k); callers can still
+        # override per deployment
         for k, v in param_overrides.items():
             p[k] = v
         p.iparams()
