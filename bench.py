@@ -149,27 +149,37 @@ def apply_overrides(p, overrides):
     keyed off the knob's current value — the ONE parser for bench.py and
     scripts/probe_step.py (they must configure identical params for a
     probe to explain a bench number)."""
-    for kv in overrides:  # e.g. dag_chunk=16
+    for kv in overrides:  # e.g. dag_chunk=16, train.batch_size=128
         k, v = kv.split("=", 1)
-        cur = p.get(k)
+        # dotted keys address nested subtrees (train.batch_size) — resolve
+        # the parent so coercion keys off the actual current value instead
+        # of silently creating a flat junk key
+        tgt = p
+        while "." in k:
+            head, k = k.split(".", 1)
+            sub = tgt.get(head)
+            if sub is None:
+                raise KeyError(f"--set {kv}: no param subtree {head!r}")
+            tgt = sub
+        cur = tgt.get(k)
         low = v.lower()
         if isinstance(cur, bool) or (cur is None and low in ("true", "false")):
             # bool knobs accept 1/0/true/false/on/off — a bare "0" must
             # NOT land as a raw string (bool("0") is True downstream)
             if low in ("1", "true", "on", "yes"):
-                p[k] = True
+                tgt[k] = True
             elif low in ("0", "false", "off", "no"):
-                p[k] = False
+                tgt[k] = False
             else:
-                p[k] = v  # mode string for object-typed knobs
+                tgt[k] = v  # mode string for object-typed knobs
         elif isinstance(cur, int):
-            p[k] = int(v)
+            tgt[k] = int(v)
         elif isinstance(cur, float):
-            p[k] = float(v)
+            tgt[k] = float(v)
         else:
             # string/choice knobs take the value verbatim; constraint
             # checking (e.g. gcn_remat ∈ full|off|dots) reports bad values
-            p[k] = v
+            tgt[k] = v
     return p
 
 

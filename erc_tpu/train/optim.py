@@ -89,7 +89,15 @@ def build_optim(cfg: Params, grad_clip_norm: Optional[float] = None):
             return optax.lars(learning_rate, weight_decay=wd)
         raise ValueError(f"unknown optimizer {name!r}")
 
-    tx = optax.inject_hyperparams(base)(learning_rate=lr)
+    # declared LR schedule nested under the optim config
+    # (--optim.sche.name=Cos --optim.sche.left=0 --optim.sche.right=N ...):
+    # the interp curve becomes the injected learning_rate, stepped inside
+    # the jit.  A declared schedule owns the LR — the host-side plateau
+    # controller defers to it (trainer._plateau_step).
+    sche_fn = build_schedule(cfg.get("sche"))
+    tx = optax.inject_hyperparams(base)(
+        learning_rate=sche_fn if sche_fn is not None else lr
+    )
     if grad_clip_norm:
         tx = optax.chain(optax.clip_by_global_norm(float(grad_clip_norm)), tx)
     return tx

@@ -656,6 +656,17 @@ class Trainer:
         sche = getattr(self, "lr_sche", None)
         if sche is None or loss is None or not self.params.get("lr_plateau", True):
             return
+        declared = self.params.optim.get("sche") if self.params.get("optim") else None
+        if declared and declared.get("name"):
+            # a declared interp schedule (--optim.sche.name=...) owns the
+            # injected LR and re-evaluates it every step — a plateau
+            # injection would be clobbered next step; defer to the schedule
+            if not getattr(self, "_warned_sche_plateau", False):
+                self._warned_sche_plateau = True
+                self.logger.info(
+                    "lr schedule declared (--optim.sche): plateau controller disabled"
+                )
+            return
         from erc_tpu.train.optim import get_learning_rate, set_learning_rate
 
         cur = get_learning_rate(self.state.opt_state)

@@ -80,6 +80,59 @@ def test_build_schedule_from_config():
     assert build_schedule(None) is None
 
 
+def test_declared_schedule_drives_injected_lr():
+    """--optim.sche.name=Cos wires the interp curve into build_optim's
+    injected learning_rate: the LR the optimizer actually applies follows
+    the curve step by step."""
+    import jax.numpy as jnp
+    import optax
+
+    from erc_tpu.core import interp
+    from erc_tpu.train.optim import create_optim, build_optim, get_learning_rate
+
+    cfg = create_optim("SGD", lr=123.0)  # base lr must be ignored
+    cfg.from_args(["--sche.name=Cos", "--sche.start=1.0", "--sche.end=0.0",
+                   "--sche.left=0", "--sche.right=10"])
+    tx = build_optim(cfg)
+    params = {"w": jnp.ones(3)}
+    state = tx.init(params)
+    curve = interp.Cos(1.0, 0.0, 0, 10)
+    for step in range(4):
+        grads = {"w": jnp.ones(3)}
+        updates, state = tx.update(grads, state, params)
+        # sgd update = -lr * grad with lr = curve(step)
+        np.testing.assert_allclose(
+            np.asarray(updates["w"]), -curve(step) * np.ones(3), rtol=1e-5
+        )
+    # the injected hyperparam holds the LAST-applied LR (curve at step 3)
+    assert abs(get_learning_rate(state) - curve(3)) < 1e-5
+
+
+def test_declared_schedule_disables_plateau(tmp_path):
+    import os
+
+    os.environ["ERC_TPU_EXPROOT"] = str(tmp_path)
+    from erc_tpu.models.dagerc import DAGERCParams, DAGERCTrainer
+    from erc_tpu.train.optim import get_learning_rate
+
+    p = DAGERCParams()
+    p.dataset = "synthetic-cogmen-6"
+    p.max_seq_len = 8
+    p.hidden_dim = 8
+    p.gnn_layers = 1
+    p.from_args(["--optim.sche.name=Constant", "--optim.sche.value=0.002"])
+    p.iparams()
+    tr = DAGERCTrainer(p)
+    tr.initialize()
+    lr0 = get_learning_rate(tr.state.opt_state)
+    # plateau would fire on a flat metric stream; the declared schedule
+    # must make _plateau_step a no-op instead
+    for _ in range(tr.lr_sche.patience + 3):
+        tr._plateau_step(1.0)
+    assert get_learning_rate(tr.state.opt_state) == lr0
+    assert abs(lr0 - 0.002) < 1e-8  # f32 storage of the declared value
+
+
 @pytest.mark.slow
 def test_multi_step_training_matches_single_step(tmp_path):
     """steps_per_call=2 must produce identical params to steps_per_call=1."""
