@@ -112,8 +112,18 @@ class MetricBoard:
     def load(path: str) -> list:
         if not os.path.exists(path):
             return []
+        rows = []
         with open(path) as f:
-            return [json.loads(line) for line in f if line.strip()]
+            for line in f:
+                if not line.strip():
+                    continue
+                try:
+                    rows.append(json.loads(line))
+                except json.JSONDecodeError:
+                    # a preemption mid-append can tear the last line; one
+                    # lost row must not make the whole board unreadable
+                    continue
+        return rows
 
 
 class PredictionStore:

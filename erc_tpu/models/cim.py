@@ -42,8 +42,11 @@ class CIMParams(MMBaseParams):
         self.apply_bin = True
         self.metric = "multiemo"
         self.hidden_size = 200
-        # one fused scan for the three modality biGRUs (see CIMModule)
-        self.fused_rnn = True
+        # one fused scan for the three modality biGRUs — wins only in the
+        # latency-bound small-batch regime (measured B=32 +16.8% train but
+        # B=64/128 −6..−13%, BENCH_MATRIX CIM section), so 'auto' resolves
+        # from batch size; 'on'/'off' force it
+        self.fused_rnn = "auto"
 
     def iparams(self):
         super().iparams()
@@ -65,9 +68,10 @@ class CIMModule(nn.Module):
     drop0: float = 0.3
     drop1: float = 0.3
     # run the three modality biGRUs as ONE scan (6 direction-chains on the
-    # batch axis): the model is recurrence-latency bound (BENCH_MATRIX CIM
-    # section), so 1/3 the sequential steps is the lever.  Same math,
-    # same param tree; False falls back to three separate scans.
+    # batch axis): 1/3 the sequential steps — wins in the latency-bound
+    # small-batch regime, loses once per-step matmuls are wide (see
+    # resolve_fused_rnn for the measured crossover).  Same math, same
+    # param tree either way.
     fused_rnn: bool = True
 
     @nn.compact
@@ -144,6 +148,26 @@ def masked_bce_with_logits(logits, targets, mask):
     return (per * m).sum() / jnp.maximum(m.sum() * logits.shape[-1], 1.0)
 
 
+def resolve_fused_rnn(params) -> bool:
+    """--fused_rnn=auto|on|off → bool.
+
+    'auto': fuse only when BOTH stage batch sizes sit in the
+    latency-bound regime — measured on v5e (BENCH_MATRIX CIM section):
+    B=32 train 7 602 → 8 878 dia/s fused (+16.8%), but B=64 9 375 → 8 199
+    and B=128 14 454 → 13 544 (wider per-step matmuls no longer
+    latency-bound; the fused form's concat/slice overhead shows).
+    """
+    v = params.get("fused_rnn", "auto")
+    if isinstance(v, bool):
+        return v
+    f = str(v).lower()
+    if f == "auto":
+        return max(
+            int(params.train.batch_size), int(params.test.batch_size)
+        ) <= 32
+    return f in ("on", "true", "1", "yes")
+
+
 class CIMTrainer(Trainer):
     def imodels(self, params: ParamsType):
         self.model = CIMModule(
@@ -152,7 +176,7 @@ class CIMTrainer(Trainer):
             visual_dim=params.hidden_visual,
             hidden_size=params.hidden_size,
             n_classes=params.n_classes,
-            fused_rnn=bool(params.get("fused_rnn", True)),
+            fused_rnn=resolve_fused_rnn(params),
         )
         self.tx = optim_factory.build_optim(params.optim)
 

@@ -106,6 +106,19 @@ def test_cim_fused_rnn_matches_unfused():
     np.testing.assert_allclose(np.asarray(l7_f), np.asarray(l7_u), atol=1e-5, rtol=1e-5)
 
 
+def test_resolve_fused_rnn_policy():
+    from erc_tpu.models.cim import CIMParams, resolve_fused_rnn
+
+    p = CIMParams()  # train 16 / test 32 → latency regime
+    assert resolve_fused_rnn(p) is True
+    p.test.batch_size = 64
+    assert resolve_fused_rnn(p) is False  # either stage past the crossover
+    p.fused_rnn = "on"
+    assert resolve_fused_rnn(p) is True
+    p.fused_rnn = False
+    assert resolve_fused_rnn(p) is False
+
+
 def test_grucell_matches_torch():
     torch.manual_seed(1)
     B, D, H = 4, 6, 5
