@@ -149,18 +149,14 @@ def apply_overrides(p, overrides):
     keyed off the knob's current value — the ONE parser for bench.py and
     scripts/probe_step.py (they must configure identical params for a
     probe to explain a bench number)."""
-    for kv in overrides:  # e.g. dag_chunk=16, train.batch_size=128
+    for kv in overrides:  # e.g. dag_chunk=16, optim.sche.name=Cos
         k, v = kv.split("=", 1)
-        # dotted keys address nested subtrees (train.batch_size) — resolve
-        # the parent so coercion keys off the actual current value instead
-        # of silently creating a flat junk key
+        # Params.get/__setitem__ resolve dotted keys natively, INCLUDING
+        # auto-vivifying not-yet-declared subtrees (--set optim.sche.name=…)
+        # — do not pre-resolve here (a stricter resolver shipped briefly and
+        # broke exactly that).  NB: batch size is a bench ARG (--batch-size),
+        # not an override; bench_tpu assigns it after this runs.
         tgt = p
-        while "." in k:
-            head, k = k.split(".", 1)
-            sub = tgt.get(head)
-            if sub is None:
-                raise KeyError(f"--set {kv}: no param subtree {head!r}")
-            tgt = sub
         cur = tgt.get(k)
         low = v.lower()
         if isinstance(cur, bool) or (cur is None and low in ("true", "false")):

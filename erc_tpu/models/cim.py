@@ -163,7 +163,9 @@ def resolve_fused_rnn(params) -> bool:
     f = str(v).lower()
     if f == "auto":
         return max(
-            int(params.train.batch_size), int(params.test.batch_size)
+            int(params.train.batch_size),
+            int(params.val.batch_size),
+            int(params.test.batch_size),
         ) <= 32
     return f in ("on", "true", "1", "yes")
 

@@ -275,6 +275,8 @@ class BiRNN(nn.Module):
                 )
                 feats = [y_f, y_b]
             else:
+                if return_parts:
+                    raise ValueError("return_parts needs bidirectional=True")
                 w_ih, w_hh, b_ih, b_hh = prm[False]
                 feats = [
                     _scan_direction(

@@ -127,12 +127,12 @@ class AutoResume(Callback):
         # newest first; Saver writes are atomic (tmp+rename), but a file can
         # still arrive corrupt (partial disk, torn copy) — fall back through
         # older checkpoints instead of dying on the newest
+        # own checkpoints newest first, then hash-matching siblings (a
+        # relaunched job gets a FRESH test dir, so its own saver is usually
+        # empty — and a run whose OWN files are all corrupt must still reach
+        # an intact sibling instead of silently restarting)
         candidates = list(reversed(tr.saver.list_checkpoints()))
-        if not candidates:
-            # a relaunched (preempted) job gets a FRESH test dir, so its own
-            # saver is empty — fall back to sibling runs of the same
-            # experiment with a matching params hash, newest first
-            candidates = self._sibling_checkpoints(tr)
+        candidates += self._sibling_checkpoints(tr)
         for latest in candidates:
             try:
                 tr.load_checkpoint(latest)
@@ -140,9 +140,14 @@ class AutoResume(Callback):
                 tr.logger.warn(f"unreadable checkpoint {latest}: {e!r}")
                 continue
             meta_path = latest + ".json"
-            if os.path.exists(meta_path):
+            try:
                 with open(meta_path) as f:
                     meta = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                # pre-atomic writers could tear the sidecar; a .ckpt without
+                # meta resumes with default counters (re-runs the epoch)
+                meta = {}
+            if meta:
                 tr.eidx = int(meta.get("eidx", tr.eidx)) + (
                     1 if meta.get("epoch_end") else 0
                 )

@@ -60,15 +60,18 @@ def main(argv):
     lens = rng.integers(2 * sr, 8 * sr, n)
     T = 8 * sr  # the TPU bucket pads to the longest
 
-    # --- reference rate: per-utterance numpy, measured on a sample
+    # --- reference rate: per-utterance numpy, measured on a sample.
+    # Signals are PRE-generated: data synthesis must not be charged to
+    # either side's timed region.
     ref = load_reference_melfeature()
     n_ref = min(n, 64)
+    ref_sigs = [
+        rng.standard_normal((1, lens[i])).astype(np.float32)
+        for i in range(n_ref)
+    ]
     t0 = time.perf_counter()
-    sec_ref = 0.0
-    for i in range(n_ref):
-        sig = rng.standard_normal((1, lens[i])).astype(np.float32)
+    for sig in ref_sigs:
         ref.wav_to_fb(sig)
-        sec_ref += lens[i] / sr
     ref_wall = time.perf_counter() - t0
     ref_rate = n_ref / ref_wall
 
@@ -92,16 +95,19 @@ def main(argv):
     np.asarray(out[0, 0, 0])
     dev_rate = iters * batch / (time.perf_counter() - t0)
 
-    # --- this rig's end-to-end: int16 up (wav-file dtype), f32 fb down
+    # --- this rig's end-to-end: int16 up (wav-file dtype), f32 fb down;
+    # host blocks pre-generated for the same reason as above
+    n_e2e = min(n, 4 * batch)  # a few batches suffice; link-bound
+    hosts = [
+        (rng.standard_normal((batch, T)) * 8192).astype(np.int16)
+        for _ in range(n_e2e // batch)
+    ]
     t0 = time.perf_counter()
-    done = 0
-    while done < min(n, 4 * batch):  # a few batches suffice; link-bound
-        host = (rng.standard_normal((batch, T)) * 8192).astype(np.int16)
+    for host in hosts:
         d = jax.device_put(host)
         o = ac.wav_to_fb(d.astype(jnp.float32))
         np.asarray(o)
-        done += batch
-    e2e_rate = done / (time.perf_counter() - t0)
+    e2e_rate = len(hosts) * batch / (time.perf_counter() - t0)
 
     print(json.dumps({
         "metric": "fbank_extract_throughput",

@@ -82,10 +82,13 @@ def main(argv):
             out[k] = rng.standard_normal(f32[k].shape).astype(np.float32)
         return out
 
-    # host-side quantization cost the bf16 path pays per batch
+    # host-side quantization cost the bf16 path pays per batch — cast a
+    # PRE-generated batch: generating fresh random floats costs ~40× the
+    # cast itself and must not be attributed to it
+    pre = [fresh() for _ in range(iters)]
     t_cast0 = time.perf_counter()
-    for _ in range(iters):
-        cast(fresh())
+    for b in pre:
+        cast(b)
     host_cast_ms = (time.perf_counter() - t_cast0) / iters * 1e3
 
     timed_put(fresh())  # warm the allocator / tunnel

@@ -91,6 +91,17 @@ def test_auto_resume_survives_truncated_latest_checkpoint(tmp_path):
     assert tr2.eidx == int(meta["eidx"]) + 1
     assert tr2.global_steps == int(meta["global_steps"])
 
+    # torn meta sidecar next to an intact ckpt (pre-atomic writer debris):
+    # resume proceeds with default counters instead of crashing
+    with open(cps[-2] + ".json", "w") as f:
+        f.write('{"eidx": 0, "glo')  # truncated json
+    tr3 = _trainer(tmp_path, resume=True, epoch=2)
+    tr3.exp = tr.exp
+    tr3.saver = tr.saver
+    tr3.initialize()
+    AutoResume().train_begin(tr3)  # must not raise
+    assert tr3.eidx == 0  # default counters (meta unreadable)
+
 
 def test_nan_guard(tmp_path):
     tr = _trainer(tmp_path)
@@ -215,3 +226,16 @@ def test_auto_resume_finds_sibling_run(tmp_path):
     AutoResume().train_begin(tr4)
     assert tr4.global_steps > 0  # resumed from an intact sibling
     assert tr4.global_steps < 3 * steps_per_epoch  # not the corrupt newest
+
+    # own saver NON-empty but entirely corrupt → must still reach an
+    # intact sibling (review finding: the sibling branch used to be
+    # gated on the own saver being empty)
+    for cp in tr1.saver.list_checkpoints():
+        with open(cp, "r+b") as f:
+            f.truncate(17)
+    tr5 = _trainer(tmp_path, checkpoint_per_epoch=1, resume=True, epoch=3)
+    tr5.exp = tr1.exp
+    tr5.saver = tr1.saver
+    tr5.initialize()
+    AutoResume().train_begin(tr5)
+    assert tr5.global_steps > 0  # landed on tr2's intact checkpoint
