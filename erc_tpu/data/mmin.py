@@ -51,7 +51,11 @@ def iemocap_mmin_4(root, split="train"):
 
 
 def synthetic_mmin(n_classes=4, split="train", n_train=256, n_test=64, seed=0):
-    rng = np.random.default_rng(seed if split == "train" else seed + 1)
+    # distinct stream per split: val identical to test would make
+    # --select_on=val silently select on the test set
+    rng = np.random.default_rng(
+        seed + {"train": 0, "test": 1, "val": 2, "valid": 2}.get(split, 3)
+    )
     proto = np.random.default_rng(seed + 99)
     protos = {
         "v": proto.normal(size=(n_classes, 342)).astype(np.float32),

@@ -35,9 +35,13 @@ def synthetic_erc(
 
     # scale knob for end-to-end CLI throughput runs: the fixed 120-dialogue
     # epoch is too small to measure the steady-state loop (epoch turnaround
-    # dominates); real dumps are ~thousands of dialogues
-    n_train = int(os.environ.get("ERC_TPU_SYNTH_TRAIN", n_train))
-    n_test = int(os.environ.get("ERC_TPU_SYNTH_TEST", n_test))
+    # dominates); real dumps are ~thousands of dialogues.  The env applies
+    # ONLY when the caller left the default — an explicit n_train (e.g.
+    # Trainer.example_batch's 2-dialogue init batch) must always win
+    if n_train == 120:
+        n_train = int(os.environ.get("ERC_TPU_SYNTH_TRAIN", n_train))
+    if n_test == 31:
+        n_test = int(os.environ.get("ERC_TPU_SYNTH_TEST", n_test))
     dims = dict(_DIMS.get(prefix, _DIMS["iemocap-cogmen"]))
     if text_dim:
         dims["text"] = text_dim
@@ -47,7 +51,10 @@ def synthetic_erc(
         dims["visual"] = visual_dim
     S = dims["n_speakers"]
     n = n_train if split == "train" else n_test
-    rng = np.random.default_rng(seed if split == "train" else seed + 1)
+    # distinct stream per split: val identical to test would make
+    # --select_on=val silently select on the test set
+    offset = {"train": 0, "test": 1, "val": 2, "valid": 2}.get(split, 3)
+    rng = np.random.default_rng(seed + offset)
     # fixed class prototypes shared by both splits so test is learnable
     proto_rng = np.random.default_rng(seed + 1234)
     protos = {
@@ -96,7 +103,9 @@ def synthetic_daily(n_classes=7, split="train", n_train=24, vocab=400,
                     min_len=4, max_len=12, n_words=20, seed=0):
     """Token dialogues shaped like the DailyDialog reader's output
     (data/dailydialog.py) for tests/benchmarks of the dgcnv2_daily track."""
-    rng = np.random.default_rng(seed + (0 if split == "train" else 1))
+    rng = np.random.default_rng(
+        seed + {"train": 0, "test": 1}.get(split, 2)
+    )
     n = n_train if split == "train" else max(n_train // 3, 2)
     # label-correlated token bands: each class draws most tokens from its own
     # slice of the vocabulary (20% uniform noise), so the token track is

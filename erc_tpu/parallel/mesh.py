@@ -129,18 +129,40 @@ def fetch_local(tree):
         if x is None:
             return None
         if isinstance(x, jax.Array) and jax.process_count() > 1 and not x.is_fully_addressable:
-            shards = sorted(
-                x.addressable_shards, key=lambda s: (s.index[0].start or 0)
-            )
+            # dedupe replicas by the FULL index tuple and write each shard
+            # at its own coordinates — dim-0-only keys silently dropped
+            # shards of arrays sharded on a later axis (e.g. [K, B, ...]
+            # multi-eval stacks, sharded P(None, 'data'))
             seen = set()
-            parts = []
-            for s in shards:  # one copy per distinct row range (replicas dedupe)
-                key = (s.index[0].start, s.index[0].stop)
+            shards = []
+            for s in x.addressable_shards:
+                key = tuple((sl.start, sl.stop) for sl in s.index)
                 if key in seen:
                     continue
                 seen.add(key)
-                parts.append(np.asarray(s.data))
-            return np.concatenate(parts, axis=0)
+                shards.append(s)
+            # local view: collapse each sharded axis to the union of local
+            # shard extents (assumes the per-axis extents tile contiguously
+            # per process, which strided-loader + NamedSharding guarantee)
+            lo = [min(s.index[d].start or 0 for s in shards) for d in range(x.ndim)]
+            hi = [
+                max(
+                    (s.index[d].stop if s.index[d].stop is not None else x.shape[d])
+                    for s in shards
+                )
+                for d in range(x.ndim)
+            ]
+            out = np.empty([h - l for l, h in zip(lo, hi)], x.dtype)
+            for s in shards:
+                idx = tuple(
+                    slice(
+                        (sl.start or 0) - l,
+                        (sl.stop if sl.stop is not None else x.shape[d]) - l,
+                    )
+                    for d, (sl, l) in enumerate(zip(s.index, lo))
+                )
+                out[idx] = np.asarray(s.data)
+            return out
         return np.asarray(jax.device_get(x))
 
     out = jax.tree_util.tree_map(one, tree)

@@ -88,7 +88,12 @@ class KeyErrorSave(Callback):
 
 
 class StopByCode(Callback):
-    """Graceful stop when `<test_dir>/.stop` appears (callbacks.py:745-755)."""
+    """Graceful stop when `<test_dir>/.stop` appears (callbacks.py:745-755).
+
+    Multi-process: only process 0 polls the file and the decision is
+    broadcast — independent polling could see the file on one host a beat
+    before another (shared-fs visibility lag), desyncing the step loop
+    into a collective hang."""
 
     def __init__(self, check_every: int = 100):
         self.check_every = check_every
@@ -97,7 +102,16 @@ class StopByCode(Callback):
     def train_step_end(self, tr, bidx, mets):
         if tr.global_steps - self._last >= self.check_every or tr.global_steps == 0:
             self._last = tr.global_steps
-            if os.path.exists(os.path.join(tr.exp.test_dir, ".stop")):
+            import jax
+
+            stop = os.path.exists(os.path.join(tr.exp.test_dir, ".stop"))
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                stop = bool(
+                    multihost_utils.broadcast_one_to_all(np.array(stop))
+                )
+            if stop:
                 tr.logger.info(".stop file found — stopping")
                 tr.stopped = True
 
@@ -124,13 +138,11 @@ class AutoResume(Callback):
     resume at eidx+1, mid-epoch ones re-run the interrupted epoch)."""
 
     def train_begin(self, tr):
-        # newest first; Saver writes are atomic (tmp+rename), but a file can
-        # still arrive corrupt (partial disk, torn copy) — fall back through
-        # older checkpoints instead of dying on the newest
-        # own checkpoints newest first, then hash-matching siblings (a
-        # relaunched job gets a FRESH test dir, so its own saver is usually
-        # empty — and a run whose OWN files are all corrupt must still reach
-        # an intact sibling instead of silently restarting)
+        # Saver writes are atomic (tmp+rename), but a file can still arrive
+        # corrupt (partial disk, torn copy) — walk own checkpoints newest
+        # first, then hash-matching siblings (a relaunched job gets a FRESH
+        # test dir, so its own saver is usually empty — and a run whose OWN
+        # files are all corrupt must still reach an intact sibling)
         candidates = list(reversed(tr.saver.list_checkpoints()))
         candidates += self._sibling_checkpoints(tr)
         for latest in candidates:
@@ -247,7 +259,7 @@ class MemoryMonitor(Callback):
         tr.logger.info(msg)
         if limit and not self._warned and stats["bytes_in_use"] > self.warn_frac * limit:
             self._warned = True
-            tr.logger.warning(
+            tr.logger.warn(
                 "HBM above %.0f%% of limit — live arrays:\n%s"
                 % (100 * self.warn_frac, memstat.memory_report())
             )

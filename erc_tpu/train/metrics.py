@@ -30,6 +30,11 @@ def weighted_accuracy(y_true: Sequence[int], y_pred: Sequence[int]):
             P += 1
         else:
             N += 1
+    # single-class columns (all-positive or all-negative ground truth)
+    # would divide by zero in the reference formula; report 0 instead of
+    # killing the whole metric block
+    if P == 0 or N == 0:
+        return 0.0, TP, TN, FP, FN, P, N
     w_acc = (1.0 * TP * (N / (1.0 * P)) + TN) / (2.0 * N)
     return w_acc, TP, TN, FP, FN, P, N
 
@@ -39,8 +44,11 @@ def classification_summary(true: List[int], pred: List[int], n_classes: int) -> 
     from sklearn import metrics
 
     cm = metrics.confusion_matrix(true, pred, labels=range(n_classes))
+    # labels= keeps per-class arrays aligned with class ids even when a
+    # class is absent from this eval set (otherwise every class above the
+    # missing one shifts down a slot)
     cls_pre, cls_rec, cls_f1, _ = metrics.precision_recall_fscore_support(
-        true, pred, zero_division=0
+        true, pred, labels=range(n_classes), zero_division=0
     )
     return {
         "cm": cm,

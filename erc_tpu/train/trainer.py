@@ -372,13 +372,13 @@ class Trainer:
         cast = transfer_cast_fn(self.params.get("transfer_dtype", "float32"))
         return MappedLoader(loader, cast) if cast else loader
 
-    def _pipeline_train(self, loader):
-        """Wrap a raw train loader: K-step grouping (steps_per_call) and
-        producer-thread stacking + device placement, so host→HBM transfer
-        overlaps the previous step's compute."""
+    def _pipeline(self, loader, spc: int):
+        """Shared loader pipeline: transfer-dtype cast → K-step grouping →
+        producer-thread stacking + device placement (host→HBM transfer
+        overlaps the previous dispatch's compute)."""
         p = self.params
         loader = self._transfer_cast(loader)
-        spc = max(int(p.get("steps_per_call", 1)), 1)
+        spc = max(int(spc), 1)
         if spc > 1:
             from erc_tpu.data.loader import GroupedLoader
 
@@ -395,33 +395,18 @@ class Trainer:
                 place = lambda b: meshlib.shard_batch(b, self.mesh)
             loader = PrefetchLoader(loader, place_fn=place)
         return loader
+
+    def _pipeline_train(self, loader):
+        return self._pipeline(loader, self.params.get("steps_per_call", 1))
 
     def _pipeline_eval(self, loader):
-        """Mirror of _pipeline_train for the forward-only stages: the same
-        steps_per_call grouping feeds the multi-eval scan (K batches per
-        dispatch), and the producer thread stacks + places off the loop.
-        --eval_steps_per_call overrides the group size for the forward-only
-        stages (0 = inherit steps_per_call)."""
+        """Forward-only stages group independently: --eval_steps_per_call
+        overrides steps_per_call (0 = inherit) to feed the multi-eval scan
+        (K batches per dispatch)."""
         p = self.params
-        loader = self._transfer_cast(loader)
-        spc = int(p.get("eval_steps_per_call", 0) or p.get("steps_per_call", 1))
-        spc = max(spc, 1)
-        if spc > 1:
-            from erc_tpu.data.loader import GroupedLoader
-
-            loader = GroupedLoader(loader, spc)
-        if p.get("prefetch", True):
-            from erc_tpu.data.loader import PrefetchLoader
-
-            if spc > 1:
-                place = lambda item: (
-                    meshlib.shard_batch(item[0], self.mesh, scan_dim=item[1] > 1),
-                    item[1],
-                )
-            else:
-                place = lambda b: meshlib.shard_batch(b, self.mesh)
-            loader = PrefetchLoader(loader, place_fn=place)
-        return loader
+        return self._pipeline(
+            loader, p.get("eval_steps_per_call", 0) or p.get("steps_per_call", 1)
+        )
 
     # ----------------------------------------------------------------- hooks
     def icallbacks(self, params):
@@ -767,10 +752,14 @@ class Trainer:
         self._sync_eval_state()
         test_loss = self._nll_sum / max(self._nll_n, 1)
         res = {}
-        if len(self._true) and p.get("confusion_matrix", True):
+        if len(self._true):
             res = metrics_mod.classification_summary(self._true, self._pred, p.n_classes)
             cm = res.pop("cm")
-            self.logger.raw(cm)
+            # the flag controls ONLY the printed matrix (reference
+            # mmin_base.py confuse_matrix semantics) — metric persistence
+            # and best-model selection always run
+            if p.get("confusion_matrix", True):
+                self.logger.raw(cm)
             m = Meter()
             with self.database as db:
                 m.update(db.update_metric_pair("pre", res["pre"], "cls_pre", res["cls_pre"]))
@@ -831,8 +820,20 @@ class Trainer:
         self.initialize()
         path = path or self.saver.latest_checkpoint()
         assert path, "no checkpoint found"
-        self.state = self.saver.load_into(path, self.state)
-        self.state = meshlib.replicate(self.state, self.mesh)
+        # restore each leaf to the PLACEMENT the live state already has —
+        # initialize() may have sharded large kernels over the model axis
+        # (and their optimizer moments with them); a blanket replicate()
+        # here used to undo that on resume (full copies on every device,
+        # different placement than a fresh run)
+        target = self.state
+        loaded = self.saver.load_into(path, target)
+
+        def place(new, cur):
+            if hasattr(cur, "sharding") and hasattr(new, "shape"):
+                return jax.device_put(new, cur.sharding)
+            return new
+
+        self.state = jax.tree_util.tree_map(place, loaded, target)
         return path
 
 

@@ -76,3 +76,55 @@ def test_stft_shape():
     sig = np.zeros((1, 4000), np.float32)
     out = np.asarray(acoustic.wav_to_stft(sig))
     assert out.shape == (1, (4000 - 400) // 160 + 1, 201)
+
+
+# ---------------------------------------------------------------------------
+# Differential parity vs the REFERENCE's own melfeature module — the oracle
+# is /root/reference/preprocess/acoustic/melfeature.py itself (numpy-only,
+# imported straight from the tree), not a hand-built replica, so a shared
+# misreading of the reference math cannot pass.
+
+_REF_MELFEATURE = "/root/reference/preprocess/acoustic/melfeature.py"
+
+
+@pytest.fixture(scope="module")
+def ref_melfeature():
+    import importlib.util
+
+    if not (
+        __import__("os").path.exists(_REF_MELFEATURE)
+    ):
+        pytest.skip("reference tree not present")
+    spec = importlib.util.spec_from_file_location("_ref_melfeature", _REF_MELFEATURE)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_fb_differential_vs_reference_module(ref_melfeature):
+    rng = np.random.default_rng(7)
+    sig = rng.normal(size=(2, 12000)).astype(np.float32)
+    got = np.asarray(acoustic.wav_to_fb(sig))
+    want = ref_melfeature.wav_to_fb(sig)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_mfcc_differential_vs_reference_module(ref_melfeature):
+    rng = np.random.default_rng(8)
+    sig = rng.normal(size=(1, 9600)).astype(np.float32)
+    # extractor.py:42 calls with mfcc_dim=24
+    got = np.asarray(acoustic.wav_to_mfcc(sig, fb_dim=40, mfcc_dim=24))
+    want = ref_melfeature.wav_to_mfcc(sig, fb_dim=40, mfcc_dim=24)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_stft_differential_vs_reference_module(ref_melfeature):
+    rng = np.random.default_rng(9)
+    sig = rng.normal(size=(1, 6400)).astype(np.float32)
+    got = np.asarray(acoustic.wav_to_stft(sig))
+    want = ref_melfeature.wav_to_stft(sig)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got.real, want.real, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(got.imag, want.imag, rtol=1e-3, atol=1e-3)

@@ -129,8 +129,8 @@ def test_memory_monitor_callback(monkeypatch):
         def info(self, msg):
             logged.append(msg)
 
-        def warning(self, msg):
-            warned.append(msg)
+        def warn(self, *args):  # matches core.logger.Logger's API
+            warned.append(" ".join(str(a) for a in args))
 
     class FakeTrainer:
         logger = FakeLogger()
