@@ -33,12 +33,39 @@ TORCH_CPU_BASELINE_DPS = 14.0
 # COGMEN, so a drop below 3 000 means a real regression (e.g. the
 # eval-overlap or prefetch path silently undone), not noise.  Checked by
 # default — perf is a tested property, not a documented one.
-THROUGHPUT_FLOORS_DPS = {"cogmen": 3000.0}
-# eval floor: the scanned multi-eval path (steps_per_call batches per
+THROUGHPUT_FLOORS_DPS = {
+    "cogmen": 3000.0,
+    # zoo floors at ~60% of the BENCH_MATRIX parity-config rates (train
+    # 13.3k/1.9k/2.6k/8.9k/13.5k/2.8k/15.1k) — wide enough for tunnel
+    # noise, tight enough to catch each model's known cliff: dgcn/dgcnv2
+    # losing the packed-biLSTM scan, mmgcn losing split-support/remat,
+    # dagerc losing block-body remat, cim losing the fused 3-chain scan,
+    # daily regressing the embedding scatter, mmin losing EMA-in-jit
+    "dgcn": 8000.0,
+    "mmgcn": 1100.0,
+    "dagerc": 1500.0,
+    "cim": 5500.0,
+    "dgcnv2": 8000.0,
+    "dgcnv2_daily": 1700.0,
+    "mmin": 9000.0,
+}
+# eval floors: the scanned multi-eval path (steps_per_call batches per
 # dispatch) measures ~32k dia/s for COGMEN at the parity config; a drop
 # below 15k means the K-batch scan or one-fetch collection regressed to
-# per-batch dispatch (which measured 10-13k)
-EVAL_FLOORS_DPS = {"cogmen": 15000.0}
+# per-batch dispatch (which measured 10-13k).  Zoo floors at ~60% of the
+# matrix eval rates (44k/12.9k/9.5k/18.4k/43k/12.2k/31.5k).
+EVAL_FLOORS_DPS = {
+    "cogmen": 15000.0,
+    # dgcn floor sized to the BANDED impl's 31.7k (dense measures 44k):
+    # --graph_impl is not an override, so the floor must clear both
+    "dgcn": 24000.0,
+    "mmgcn": 7500.0,
+    "dagerc": 5500.0,
+    "cim": 11000.0,
+    "dgcnv2": 26000.0,
+    "dgcnv2_daily": 7000.0,
+    "mmin": 18000.0,
+}
 
 # bf16 peak matmul throughput per chip (MXU), by device_kind substring
 PEAK_BF16_FLOPS = [
