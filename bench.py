@@ -27,44 +27,51 @@ import time
 # iemocap-cogmen-6 dims, COGMEN architecture).
 TORCH_CPU_BASELINE_DPS = 14.0
 
-# regression floors (dialogues/s) at the parity config (bs=32, L=96)
-# through the axon tunnel, sized to clear its measured 10-15% run-to-run
-# variance (BENCH_MATRIX.md): recent driver captures are 5.5-6.0k for
-# COGMEN, so a drop below 3 000 means a real regression (e.g. the
-# eval-overlap or prefetch path silently undone), not noise.  Checked by
-# default — perf is a tested property, not a documented one.
+# Regression floors (dialogues/s) at the parity config (bs=32, L=96,
+# steps_per_call=8, no --set overrides), keyed by (model, graph impl) —
+# impl None for models without an impl knob.  Sized to ~55-65% of each
+# impl's own BENCH_MATRIX parity rate (incl. post-regen probe lows), wide
+# enough for the tunnel's 10-15% run-to-run variance, tight enough to
+# catch each model's known cliff: dgcn/dgcnv2 losing the packed-biLSTM
+# scan, mmgcn losing split-support/rbg-RNG/remat, dagerc losing
+# block-body remat, cim losing the fused 3-chain scan, daily regressing
+# the embedding scatter, mmin losing EMA-in-jit, cogmen losing
+# eval-overlap/prefetch.  Checked by default — perf is a tested property,
+# not a documented one.  `bench.py --zoo-floors` sweeps every keyed
+# (model, impl) pair in one command.
 THROUGHPUT_FLOORS_DPS = {
-    "cogmen": 3000.0,
-    # zoo floors at ~60% of the BENCH_MATRIX parity-config rates (train
-    # 13.3k/1.9k/2.6k/8.9k/13.5k/2.8k/15.1k) — wide enough for tunnel
-    # noise, tight enough to catch each model's known cliff: dgcn/dgcnv2
-    # losing the packed-biLSTM scan, mmgcn losing split-support/remat,
-    # dagerc losing block-body remat, cim losing the fused 3-chain scan,
-    # daily regressing the embedding scatter, mmin losing EMA-in-jit
-    "dgcn": 8000.0,
-    "mmgcn": 1100.0,
-    "dagerc": 1500.0,
-    "cim": 5500.0,
-    "dgcnv2": 8000.0,
-    "dgcnv2_daily": 1700.0,
-    "mmin": 9000.0,
+    # matrix train rates: dense 6092 / banded 5700
+    ("cogmen", "dense"): 3000.0,
+    ("cogmen", "banded"): 3000.0,
+    # dense 13334, banded 10521 — per-impl so dense keeps the tight bound
+    ("dgcn", "dense"): 8000.0,
+    ("dgcn", "banded"): 6300.0,
+    # dense 1860 (probe low 1830), structured 1420 (probe low 1411)
+    ("mmgcn", "dense"): 1100.0,
+    ("mmgcn", "structured"): 850.0,
+    ("dagerc", None): 1500.0,   # 2600
+    ("cim", None): 5500.0,      # 8878
+    ("dgcnv2", None): 8000.0,   # 13483
+    ("dgcnv2_daily", None): 1700.0,  # 2840
+    ("mmin", None): 9000.0,     # 15078
 }
-# eval floors: the scanned multi-eval path (steps_per_call batches per
-# dispatch) measures ~32k dia/s for COGMEN at the parity config; a drop
-# below 15k means the K-batch scan or one-fetch collection regressed to
-# per-batch dispatch (which measured 10-13k).  Zoo floors at ~60% of the
-# matrix eval rates (44k/12.9k/9.5k/18.4k/43k/12.2k/31.5k).
+# Eval floors: the scanned multi-eval path (steps_per_call batches per
+# dispatch).  A drop below the floor means the K-batch scan or one-fetch
+# collection regressed to per-batch dispatch (cogmen: 32k scanned vs
+# 10-13k per-batch).  NB: floors are only asserted at steps_per_call=8 —
+# spc=1 legitimately measures the per-batch path.
 EVAL_FLOORS_DPS = {
-    "cogmen": 15000.0,
-    # dgcn floor sized to the BANDED impl's 31.7k (dense measures 44k):
-    # --graph_impl is not an override, so the floor must clear both
-    "dgcn": 24000.0,
-    "mmgcn": 7500.0,
-    "dagerc": 5500.0,
-    "cim": 11000.0,
-    "dgcnv2": 26000.0,
-    "dgcnv2_daily": 7000.0,
-    "mmin": 18000.0,
+    ("cogmen", "dense"): 15000.0,   # 32062
+    ("cogmen", "banded"): 15000.0,  # 32545
+    ("dgcn", "dense"): 26000.0,     # 44275 — was 24k sized to banded
+    ("dgcn", "banded"): 19000.0,    # 31660
+    ("mmgcn", "dense"): 7500.0,     # 12887, probe low 8593
+    ("mmgcn", "structured"): 3500.0,  # 8040, probe low 5816
+    ("dagerc", None): 5500.0,       # 9537
+    ("cim", None): 11000.0,         # 18436
+    ("dgcnv2", None): 26000.0,      # 43118
+    ("dgcnv2_daily", None): 7000.0,  # 12186
+    ("mmin", None): 18000.0,        # 31496
 }
 
 # bf16 peak matmul throughput per chip (MXU), by device_kind substring
@@ -529,6 +536,10 @@ def main():
                     help="use the recorded baseline constant (skip torch run)")
     ap.add_argument("--matrix", action="store_true",
                     help="bench all models × impls, write BENCH_MATRIX.md")
+    ap.add_argument("--zoo-floors", action="store_true",
+                    help="assert every (model, impl) train+eval floor at "
+                         "the parity config (reduced steps); exit 2 on any "
+                         "regression")
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--max-len", type=int, default=96)
     ap.add_argument("--steps", type=int, default=128)
@@ -551,6 +562,12 @@ def main():
 
     if args.matrix:
         run_matrix(args)
+        return
+
+    if args.zoo_floors:
+        if args.steps == 128:  # default: reduce for the sweep
+            args.steps = 32
+        run_zoo_floors(args)
         return
 
     r = bench_tpu(args.batch_size, args.max_len, args.steps,
@@ -580,29 +597,97 @@ def main():
         out["gflops_per_step"] = round(r["flops_per_step"] / 1e9, 2)
     print(json.dumps(out))
 
-    floor = THROUGHPUT_FLOORS_DPS.get(args.model)
-    eval_floor = EVAL_FLOORS_DPS.get(args.model)
-    at_parity_config = (args.batch_size, args.max_len) == (32, 96)
-    if at_parity_config and not args.no_assert_floor and not args.overrides:
+    problems = check_floors(args.model, args.graph_impl, r,
+                            args.batch_size, args.max_len,
+                            args.steps_per_call, args.overrides)
+    if problems and not args.no_assert_floor:
         import sys
 
-        if floor and r["train_dps"] < floor:
-            print(
-                f"THROUGHPUT REGRESSION: {args.model} train "
-                f"{r['train_dps']:.0f} dia/s < floor {floor:.0f} dia/s "
-                "(parity config; floor covers tunnel variance — "
-                "see THROUGHPUT_FLOORS_DPS)",
-                file=sys.stderr,
-            )
-            sys.exit(2)
-        if eval_floor and r["eval_dps"] and r["eval_dps"] < eval_floor:
-            print(
-                f"THROUGHPUT REGRESSION: {args.model} eval "
-                f"{r['eval_dps']:.0f} dia/s < floor {eval_floor:.0f} dia/s "
-                "(scanned multi-eval path — see EVAL_FLOORS_DPS)",
-                file=sys.stderr,
-            )
-            sys.exit(2)
+        for msg in problems:
+            print(msg, file=sys.stderr)
+        sys.exit(2)
+
+
+def _floor_key(model, graph_impl):
+    """Resolve the floor-dict key for a bench run, or None when the run
+    is not floor-covered (e.g. --graph-impl=auto, whose resolution is a
+    model-internal decision the floor table must not second-guess)."""
+    impl_key, impls = MODEL_IMPLS[model]
+    if impl_key is None:
+        return (model, None)
+    if graph_impl in impls:
+        return (model, graph_impl)
+    return None
+
+
+def check_floors(model, graph_impl, r, batch_size, max_len,
+                 steps_per_call, overrides):
+    """Return a list of regression messages (empty = all floors clear).
+
+    Floors are asserted ONLY at the exact parity config — bs=32, L=96,
+    steps_per_call=8, no --set overrides — and only for (model, impl)
+    pairs the floor tables key (spc=1 measures per-batch dispatch,
+    10-13k for cogmen eval, which would spuriously trip the scanned-path
+    floor; an impl outside the table, e.g. 'auto', is unsized).
+    """
+    if (batch_size, max_len, steps_per_call) != (32, 96, 8) or overrides:
+        return []
+    key = _floor_key(model, graph_impl)
+    if key is None:
+        return []
+    problems = []
+    floor = THROUGHPUT_FLOORS_DPS.get(key)
+    eval_floor = EVAL_FLOORS_DPS.get(key)
+    if floor and r["train_dps"] < floor:
+        problems.append(
+            f"THROUGHPUT REGRESSION: {key[0]}/{key[1] or '-'} train "
+            f"{r['train_dps']:.0f} dia/s < floor {floor:.0f} dia/s "
+            "(parity config; floor covers tunnel variance — "
+            "see THROUGHPUT_FLOORS_DPS)"
+        )
+    if eval_floor and r["eval_dps"] and r["eval_dps"] < eval_floor:
+        problems.append(
+            f"THROUGHPUT REGRESSION: {key[0]}/{key[1] or '-'} eval "
+            f"{r['eval_dps']:.0f} dia/s < floor {eval_floor:.0f} dia/s "
+            "(scanned multi-eval path — see EVAL_FLOORS_DPS)"
+        )
+    return problems
+
+
+def run_zoo_floors(args):
+    """One command, every floor: bench each floor-keyed (model, impl)
+    pair at the parity config with reduced steps and assert both train
+    and eval floors.  Exits 2 on any regression.  Intended cadence: run
+    on-chip before committing anything that touches a model's step
+    (README 'Benchmarks'); the driver only exercises the default model.
+    """
+    import sys
+
+    keys = sorted({k for k in list(THROUGHPUT_FLOORS_DPS) + list(EVAL_FLOORS_DPS)})
+    failures = []
+    for model, impl in keys:
+        try:
+            r = bench_tpu(32, 96, args.steps, 8, impl, model)
+        except Exception as e:
+            failures.append(f"{model}/{impl or '-'}: bench error {e!r}")
+            print(f"  {model:12s} {impl or '-':10s} ERROR {e!r}"[:120], flush=True)
+            continue
+        problems = check_floors(model, impl, r, 32, 96, 8, ())
+        status = "FAIL" if problems else "ok"
+        tf = THROUGHPUT_FLOORS_DPS.get((model, impl))
+        ef = EVAL_FLOORS_DPS.get((model, impl))
+        print(
+            f"  {model:12s} {impl or '-':10s} train={r['train_dps']:7.0f}"
+            f" (floor {tf or 0:6.0f})  eval={r['eval_dps'] or 0:7.0f}"
+            f" (floor {ef or 0:6.0f})  {status}",
+            flush=True,
+        )
+        failures.extend(problems)
+    if failures:
+        for msg in failures:
+            print(msg, file=sys.stderr)
+        sys.exit(2)
+    print(f"zoo floors: all {len(keys)} (model, impl) pairs clear")
 
 
 if __name__ == "__main__":

@@ -247,3 +247,104 @@ def dataset_mean_std(images):
         n_pix += flat.shape[0]
     std = np.sqrt(sq / n_pix)
     return tuple(mean / 255.0), tuple(std / 255.0)
+
+
+# -- dataset split helpers (lumo/contrib/data/splits.py) ---------------------
+#
+# Host-side index arithmetic for the legacy semi-supervised tracks.  The
+# reference mutates the process-global numpy RNG; here ``rng`` is explicit
+# (pass ``np.random`` itself to share the reference's global stream — the
+# differential test does exactly that to get bit-identical splits).
+
+
+def sequence_split(lengths):
+    """Contiguous index ranges of the given lengths (splits.py:8-19 — the
+    in-order counterpart of torch's random_split)."""
+    out, offset = [], 0
+    for n in lengths:
+        out.append(list(range(offset, offset + n)))
+        offset += n
+    return out
+
+
+def ratio2length(total_len: int, *ratios):
+    """Ratios → integer lengths, truncating (splits.py:74-85); the sum is
+    not required to be 1."""
+    return [int(total_len * r) for r in ratios]
+
+
+def semi_split(labels, n_percls: int, val_size: int = 10000,
+               include_sup: bool = True, repeat_sup: bool = True,
+               shuffle: bool = True, rng=None):
+    """Class-balanced semi-supervised split (splits.py:22-53).
+
+    Per class: the first ``n_percls`` shuffled indices become the labeled
+    set; the first (or, with ``include_sup=False``, the next)
+    ``(N - val_size) // n_cls`` become the unlabeled set; the remainder is
+    validation.  ``repeat_sup`` tiles the labeled set to the unlabeled
+    length (the reference's epoch-locking trick for DataLoaderSide zip).
+    Returns (labeled_idx, unlabeled_idx, val_idx) as numpy int arrays.
+    """
+    rng = np.random if rng is None else rng
+    labels = np.asarray(labels)
+    n_cls = len({int(i) for i in labels})
+    n_per_un = (len(labels) - val_size) // n_cls
+
+    sup, unsup, val = [], [], []
+    for c in range(n_cls):
+        idx = np.where(labels == c)[0]
+        rng.shuffle(idx)
+        sup.extend(idx[:n_percls])
+        unsup.extend(idx[0 if include_sup else n_percls:n_per_un])
+        val.extend(idx[n_per_un:])
+
+    sup = np.asarray(sup)
+    if repeat_sup and len(sup):
+        reps = len(unsup) // len(sup) + 1
+        sup = np.hstack([sup] * reps)[: len(unsup)]
+    unsup, val = np.asarray(unsup), np.asarray(val)
+    if shuffle:
+        rng.shuffle(sup)
+        rng.shuffle(unsup)
+    return sup, unsup, val
+
+
+def train_val_split(target, val_size: int = 10000, train_size=None, rng=None):
+    """Shuffled (train_idx, val_idx) split (splits.py:56-71): the first
+    ``val_size`` shuffled indices are validation, the rest (optionally
+    capped at ``train_size``) are training."""
+    rng = np.random if rng is None else rng
+    idx = np.arange(len(target))
+    rng.shuffle(idx)
+    if train_size is not None:
+        if len(idx) <= val_size + train_size:
+            raise ValueError(
+                f"need > {val_size + train_size} samples, have {len(idx)}"
+            )
+        return idx[val_size : val_size + train_size], idx[:val_size]
+    return idx[val_size:], idx[:val_size]
+
+
+def create_imbalanced_data(labels, imb_type: str = "exp",
+                           imb_factor: float = 0.02, rng=None):
+    """Long-tailed subsample indices (splits.py:88-121, BBN recipe):
+    per-class keep counts decay exponentially ('exp'), step to
+    ``img_max·imb_factor`` for the back half ('step'), or stay flat."""
+    rng = np.random if rng is None else rng
+    labels = np.asarray(labels)
+    n_cls = len(set(labels.tolist()))
+    img_max = len(labels) // n_cls
+    if imb_type == "exp":
+        keep = [int(img_max * imb_factor ** (c / (n_cls - 1.0))) for c in range(n_cls)]
+    elif imb_type == "step":
+        half = n_cls // 2
+        keep = [img_max] * half + [int(img_max * imb_factor)] * (n_cls - half)
+    else:
+        keep = [img_max] * n_cls
+
+    out = []
+    for c, num in enumerate(keep):
+        idx = np.where(labels == c)[0]
+        rng.shuffle(idx)
+        out.extend(idx[:num])
+    return out

@@ -186,6 +186,18 @@ class TSNExtractor:
             lambda v, x: self.model.apply(v, x, train=False)
         )
 
+        def _batch_fwd(v, x_u8):
+            # [B, T, S, S, 3] uint8 → [B, 2048] consensus.  Normalization
+            # happens ON DEVICE so the host link carries uint8 (4× fewer
+            # bytes than the f32 the single-clip path uploads) — the
+            # production throughput path for batched extraction.
+            b, t = x_u8.shape[:2]
+            x = (x_u8.astype(jnp.float32) - IMAGENET_MEAN) / IMAGENET_STD
+            feats = self.model.apply(v, x.reshape((b * t,) + x.shape[2:]), train=False)
+            return feats.reshape(b, t, -1).mean(axis=1)
+
+        self._batch_fwd = jax.jit(_batch_fwd)
+
     @classmethod
     def from_torch_checkpoint(cls, path: str, prefix: str = "backbone.", **kw):
         import torch
@@ -193,6 +205,11 @@ class TSNExtractor:
         sd = torch.load(path, map_location="cpu")
         sd = sd.get("state_dict", sd)
         return cls(variables=port_torch_resnet(sd, prefix), **kw)
+
+    def extract_batch(self, clips: np.ndarray) -> np.ndarray:
+        """[B, T, S, S, 3] uint8 (already segment-sampled + resized) →
+        [B, 2048] TSN consensus features, normalized on device."""
+        return np.asarray(self._batch_fwd(self.variables, jnp.asarray(clips)))
 
     def sample_segments(self, n_frames: int) -> np.ndarray:
         """TSN uniform segment centers (test mode)."""
@@ -243,6 +260,18 @@ class X3DExtractor:
             )
         self.variables = variables
         self._fwd = jax.jit(lambda v, x: self.model.apply(v, x, train=False))
+
+        def _batch_fwd(v, x_u8):
+            # uint8 [B, T, S, S, 3] → normalize on device → [B, feat_dim]
+            x = (x_u8.astype(jnp.float32) - IMAGENET_MEAN) / IMAGENET_STD
+            return self.model.apply(v, x, train=False)
+
+        self._batch_fwd = jax.jit(_batch_fwd)
+
+    def extract_batch(self, clips: np.ndarray) -> np.ndarray:
+        """[B, T, S, S, 3] uint8 (sampled + resized) → [B, feat_dim],
+        normalized on device (uint8 host link, like TSN's batch path)."""
+        return np.asarray(self._batch_fwd(self.variables, jnp.asarray(clips)))
 
     @classmethod
     def from_torch_checkpoint(cls, path: str, prefix: str = "backbone.", **kw):

@@ -229,3 +229,37 @@ def test_tsm_recognizer_port_matches_torch():
         model.apply(variables, jnp.asarray(x.transpose(0, 1, 3, 4, 2)), train=False)
     )
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_tsn_extract_batch_matches_single_path():
+    # device-side normalization of the uint8 batch path ≡ the single-clip
+    # host-normalized forward + consensus mean
+    import jax.numpy as jnp
+
+    from erc_tpu.preprocess.video import IMAGENET_MEAN, IMAGENET_STD, TSNExtractor
+
+    ex = TSNExtractor(n_segments=2, crop_size=32)
+    clips = np.random.default_rng(3).integers(0, 255, (2, 2, 32, 32, 3)).astype(np.uint8)
+    got = ex.extract_batch(clips)
+    assert got.shape == (2, 2048)
+    for b in range(2):
+        x = (clips[b].astype(np.float32) - IMAGENET_MEAN) / IMAGENET_STD
+        want = np.asarray(ex._fwd(ex.variables, jnp.asarray(x))).mean(0)
+        np.testing.assert_allclose(got[b], want, rtol=2e-4, atol=2e-4)
+
+
+def test_x3d_extract_batch_matches_single_path():
+    import jax.numpy as jnp
+
+    from erc_tpu.preprocess.video import IMAGENET_MEAN, IMAGENET_STD, X3DExtractor
+    from erc_tpu.preprocess.x3d import X3D
+
+    model = X3D(gamma_w=0.5, gamma_b=2.0, gamma_d=0.2, base_channels=16,
+                stage_blocks=(1, 1, 1, 1))
+    ex = X3DExtractor(n_frames=2, crop_size=16, model=model)
+    clips = np.random.default_rng(4).integers(0, 255, (2, 2, 16, 16, 3)).astype(np.uint8)
+    got = ex.extract_batch(clips)
+    assert got.shape == (2, model.feat_dim)
+    x = (clips.astype(np.float32) - IMAGENET_MEAN) / IMAGENET_STD
+    want = np.asarray(ex._fwd(ex.variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

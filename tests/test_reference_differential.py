@@ -887,3 +887,87 @@ def test_vad_differential(ref_vad):
     d_ref = tools.deframe(want, win, hop)
     d_got = vad.deframe(got, win, hop)
     np.testing.assert_allclose(d_got[: len(d_ref)], d_ref.reshape(-1)[: len(d_got)])
+
+
+# =====================================================================
+# contrib split helpers vs the reference's own lumo/contrib/data/splits.py
+# (the last inventory scrap — VERDICT r4 missing #3).  Passing
+# ``rng=np.random`` shares the reference's process-global stream, so with
+# identical seeds every split is bit-identical, shuffles included.
+
+
+@pytest.fixture(scope="module")
+def ref_splits():
+    # torch removed the `_accumulate` re-export (it was always just
+    # itertools.accumulate — running sums); semantics-preserving shim
+    return _import_ref(
+        "lumo/contrib/data/splits.py",
+        compat={
+            "from torch._utils import _accumulate":
+                "from itertools import accumulate as _accumulate",
+        },
+    )
+
+
+def test_sequence_split_and_ratio2length_match_reference(ref_splits):
+    from erc_tpu import contrib
+
+    assert contrib.sequence_split([3, 5, 2]) == ref_splits.sequence_split([3, 5, 2])
+    assert contrib.ratio2length(103, 0.5, 0.3, 0.2) == ref_splits.ratio2length(
+        103, 0.5, 0.3, 0.2
+    )
+
+
+@pytest.mark.parametrize("include_sup", [True, False])
+@pytest.mark.parametrize("repeat_sup", [True, False])
+@pytest.mark.parametrize("shuffle", [True, False])
+def test_semi_split_matches_reference(ref_splits, include_sup, repeat_sup, shuffle):
+    from erc_tpu import contrib
+
+    labels = np.random.default_rng(3).integers(0, 6, size=600)
+    kw = dict(n_percls=4, val_size=120, include_sup=include_sup,
+              repeat_sup=repeat_sup, shuffle=shuffle)
+
+    np.random.seed(17)
+    want = ref_splits.semi_split(labels, **kw)
+    np.random.seed(17)
+    got = contrib.semi_split(labels, rng=np.random, **kw)
+
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_train_val_split_matches_reference(ref_splits):
+    from erc_tpu import contrib
+
+    target = np.zeros(500)  # ndarray target keeps the reference off its
+    # lazy `lumo.base_classes` import (list branch)
+    np.random.seed(5)
+    w_tr, w_val = ref_splits.train_val_split(target, val_size=100)
+    np.random.seed(5)
+    g_tr, g_val = contrib.train_val_split(target, val_size=100, rng=np.random)
+    np.testing.assert_array_equal(g_tr, w_tr)
+    np.testing.assert_array_equal(g_val, w_val)
+
+    np.random.seed(6)
+    w_tr, w_val = ref_splits.train_val_split(target, val_size=100, train_size=50)
+    np.random.seed(6)
+    g_tr, g_val = contrib.train_val_split(target, val_size=100, train_size=50,
+                                          rng=np.random)
+    np.testing.assert_array_equal(g_tr, w_tr)
+    np.testing.assert_array_equal(g_val, w_val)
+
+    with pytest.raises(ValueError):
+        contrib.train_val_split(target, val_size=400, train_size=100)
+
+
+@pytest.mark.parametrize("imb_type", ["exp", "step", "none"])
+def test_create_imbalanced_data_matches_reference(ref_splits, imb_type):
+    from erc_tpu import contrib
+
+    labels = np.random.default_rng(4).integers(0, 10, size=1000)
+    np.random.seed(23)
+    want = ref_splits.create_imblanced_data(labels, imb_type=imb_type)
+    np.random.seed(23)
+    got = contrib.create_imbalanced_data(labels, imb_type=imb_type, rng=np.random)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
