@@ -41,19 +41,24 @@ TORCH_CPU_BASELINE_DPS = 14.0
 # (model, impl) pair in one command.
 THROUGHPUT_FLOORS_DPS = {
     # matrix train rates: dense 6092 / banded 5700
-    ("cogmen", "dense"): 3000.0,
-    ("cogmen", "banded"): 3000.0,
+    ("cogmen", "dense", 32): 3000.0,
+    ("cogmen", "banded", 32): 3000.0,
+    ("cogmen", "dense", 256): 4500.0,  # max-throughput row: 7484
     # dense 13334, banded 10521 — per-impl so dense keeps the tight bound
-    ("dgcn", "dense"): 8000.0,
-    ("dgcn", "banded"): 6300.0,
+    ("dgcn", "dense", 32): 8000.0,
+    ("dgcn", "banded", 32): 6300.0,
     # dense 1860 (probe low 1830), structured 1420 (probe low 1411)
-    ("mmgcn", "dense"): 1100.0,
-    ("mmgcn", "structured"): 850.0,
-    ("dagerc", None): 1500.0,   # 2600
-    ("cim", None): 5500.0,      # 8878
-    ("dgcnv2", None): 8000.0,   # 13483
-    ("dgcnv2_daily", None): 1700.0,  # 2840
-    ("mmin", None): 9000.0,     # 15078
+    ("mmgcn", "dense", 32): 1100.0,
+    ("mmgcn", "structured", 32): 850.0,
+    ("dagerc", None, 32): 1500.0,   # 2600
+    ("dagerc", None, 128): 2400.0,  # max-throughput row: 4051
+    ("cim", None, 32): 5500.0,      # 8878
+    ("cim", None, 128): 8500.0,     # max-throughput row: 14371
+    ("dgcnv2", None, 32): 8000.0,   # 13483
+    ("dgcnv2_daily", None, 32): 1700.0,  # 2840
+    ("mmin", None, 32): 9000.0,     # 15078
+    # max-throughput keys for dgcn/dgcnv2/mmin land with the round-5
+    # B-sweeps (VERDICT r4 weak #4)
 }
 # Eval floors: the scanned multi-eval path (steps_per_call batches per
 # dispatch).  A drop below the floor means the K-batch scan or one-fetch
@@ -61,17 +66,17 @@ THROUGHPUT_FLOORS_DPS = {
 # 10-13k per-batch).  NB: floors are only asserted at steps_per_call=8 —
 # spc=1 legitimately measures the per-batch path.
 EVAL_FLOORS_DPS = {
-    ("cogmen", "dense"): 15000.0,   # 32062
-    ("cogmen", "banded"): 15000.0,  # 32545
-    ("dgcn", "dense"): 26000.0,     # 44275 — was 24k sized to banded
-    ("dgcn", "banded"): 19000.0,    # 31660
-    ("mmgcn", "dense"): 7500.0,     # 12887, probe low 8593
-    ("mmgcn", "structured"): 3500.0,  # 8040, probe low 5816
-    ("dagerc", None): 5500.0,       # 9537
-    ("cim", None): 11000.0,         # 18436
-    ("dgcnv2", None): 26000.0,      # 43118
-    ("dgcnv2_daily", None): 7000.0,  # 12186
-    ("mmin", None): 18000.0,        # 31496
+    ("cogmen", "dense", 32): 15000.0,   # 32062
+    ("cogmen", "banded", 32): 15000.0,  # 32545
+    ("dgcn", "dense", 32): 26000.0,     # 44275 — was 24k sized to banded
+    ("dgcn", "banded", 32): 19000.0,    # 31660
+    ("mmgcn", "dense", 32): 7500.0,     # 12887, probe low 8593
+    ("mmgcn", "structured", 32): 3500.0,  # 8040, probe low 5816
+    ("dagerc", None, 32): 5500.0,       # 9537
+    ("cim", None, 32): 11000.0,         # 18436
+    ("dgcnv2", None, 32): 26000.0,      # 43118
+    ("dgcnv2_daily", None, 32): 7000.0,  # 12186
+    ("mmin", None, 32): 18000.0,        # 31496
 }
 
 # bf16 peak matmul throughput per chip (MXU), by device_kind substring
@@ -163,6 +168,8 @@ MODEL_REGISTRY = {
                      "DGCNV2DailyTrainer", "synthetic-daily-token-7", "daily"),
     "mmin": ("erc_tpu.models.mmin_miss", "MMINMissParams", "MMINMissTrainer",
              "synthetic-mmin-4", "mmin"),
+    "mmin_base": ("erc_tpu.models.mmin_base", "MMINBaseParams",
+                  "MMINBaseTrainer", "synthetic-mmin-4", "mmin"),
 }
 
 # graph implementations each model supports (param name, choices to bench)
@@ -175,6 +182,7 @@ MODEL_IMPLS = {
     "dgcnv2": (None, [None]),
     "dgcnv2_daily": (None, [None]),
     "mmin": (None, [None]),
+    "mmin_base": (None, [None]),
 }
 
 
@@ -537,9 +545,10 @@ def main():
     ap.add_argument("--matrix", action="store_true",
                     help="bench all models × impls, write BENCH_MATRIX.md")
     ap.add_argument("--zoo-floors", action="store_true",
-                    help="assert every (model, impl) train+eval floor at "
-                         "the parity config (reduced steps); exit 2 on any "
-                         "regression")
+                    help="assert every (model, impl, B) train+eval floor "
+                         "(reduced steps); exit 2 on any regression")
+    ap.add_argument("--parity-only", action="store_true",
+                    help="with --zoo-floors: only the B=32 parity rows")
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--max-len", type=int, default=96)
     ap.add_argument("--steps", type=int, default=128)
@@ -608,15 +617,15 @@ def main():
         sys.exit(2)
 
 
-def _floor_key(model, graph_impl):
+def _floor_key(model, graph_impl, batch_size):
     """Resolve the floor-dict key for a bench run, or None when the run
     is not floor-covered (e.g. --graph-impl=auto, whose resolution is a
     model-internal decision the floor table must not second-guess)."""
     impl_key, impls = MODEL_IMPLS[model]
     if impl_key is None:
-        return (model, None)
+        return (model, None, batch_size)
     if graph_impl in impls:
-        return (model, graph_impl)
+        return (model, graph_impl, batch_size)
     return None
 
 
@@ -624,15 +633,16 @@ def check_floors(model, graph_impl, r, batch_size, max_len,
                  steps_per_call, overrides):
     """Return a list of regression messages (empty = all floors clear).
 
-    Floors are asserted ONLY at the exact parity config — bs=32, L=96,
-    steps_per_call=8, no --set overrides — and only for (model, impl)
-    pairs the floor tables key (spc=1 measures per-batch dispatch,
-    10-13k for cogmen eval, which would spuriously trip the scanned-path
-    floor; an impl outside the table, e.g. 'auto', is unsized).
+    Floors are asserted ONLY at floor-covered configs — L=96,
+    steps_per_call=8, no --set overrides, and a (model, impl, B) the
+    floor tables key (B=32 parity rows + the measured max-throughput
+    operating points).  spc=1 measures per-batch dispatch — 10-13k for
+    cogmen eval — which would spuriously trip the scanned-path floor;
+    an impl outside the table, e.g. 'auto', is unsized.
     """
-    if (batch_size, max_len, steps_per_call) != (32, 96, 8) or overrides:
+    if (max_len, steps_per_call) != (96, 8) or overrides:
         return []
-    key = _floor_key(model, graph_impl)
+    key = _floor_key(model, graph_impl, batch_size)
     if key is None:
         return []
     problems = []
@@ -640,14 +650,13 @@ def check_floors(model, graph_impl, r, batch_size, max_len,
     eval_floor = EVAL_FLOORS_DPS.get(key)
     if floor and r["train_dps"] < floor:
         problems.append(
-            f"THROUGHPUT REGRESSION: {key[0]}/{key[1] or '-'} train "
+            f"THROUGHPUT REGRESSION: {key[0]}/{key[1] or '-'}/B={key[2]} train "
             f"{r['train_dps']:.0f} dia/s < floor {floor:.0f} dia/s "
-            "(parity config; floor covers tunnel variance — "
-            "see THROUGHPUT_FLOORS_DPS)"
+            "(floor covers tunnel variance — see THROUGHPUT_FLOORS_DPS)"
         )
     if eval_floor and r["eval_dps"] and r["eval_dps"] < eval_floor:
         problems.append(
-            f"THROUGHPUT REGRESSION: {key[0]}/{key[1] or '-'} eval "
+            f"THROUGHPUT REGRESSION: {key[0]}/{key[1] or '-'}/B={key[2]} eval "
             f"{r['eval_dps']:.0f} dia/s < floor {eval_floor:.0f} dia/s "
             "(scanned multi-eval path — see EVAL_FLOORS_DPS)"
         )
@@ -655,29 +664,36 @@ def check_floors(model, graph_impl, r, batch_size, max_len,
 
 
 def run_zoo_floors(args):
-    """One command, every floor: bench each floor-keyed (model, impl)
-    pair at the parity config with reduced steps and assert both train
-    and eval floors.  Exits 2 on any regression.  Intended cadence: run
+    """One command, every floor: bench each floor-keyed (model, impl, B)
+    triple at L=96/spc=8 with reduced steps and assert both train and
+    eval floors.  Exits 2 on any regression.  Intended cadence: run
     on-chip before committing anything that touches a model's step
     (README 'Benchmarks'); the driver only exercises the default model.
+    ``--parity-only`` restricts to the B=32 rows (faster).
     """
     import sys
 
-    keys = sorted({k for k in list(THROUGHPUT_FLOORS_DPS) + list(EVAL_FLOORS_DPS)})
+    keys = sorted(
+        {k for k in list(THROUGHPUT_FLOORS_DPS) + list(EVAL_FLOORS_DPS)},
+        key=lambda k: (k[0], k[1] or "", k[2]),
+    )
+    if args.parity_only:
+        keys = [k for k in keys if k[2] == 32]
     failures = []
-    for model, impl in keys:
+    for model, impl, bs in keys:
         try:
-            r = bench_tpu(32, 96, args.steps, 8, impl, model)
+            r = bench_tpu(bs, 96, args.steps, 8, impl, model)
         except Exception as e:
-            failures.append(f"{model}/{impl or '-'}: bench error {e!r}")
-            print(f"  {model:12s} {impl or '-':10s} ERROR {e!r}"[:120], flush=True)
+            failures.append(f"{model}/{impl or '-'}/B={bs}: bench error {e!r}")
+            print(f"  {model:12s} {impl or '-':10s} B={bs:<4d} ERROR {e!r}"[:120],
+                  flush=True)
             continue
-        problems = check_floors(model, impl, r, 32, 96, 8, ())
+        problems = check_floors(model, impl, r, bs, 96, 8, ())
         status = "FAIL" if problems else "ok"
-        tf = THROUGHPUT_FLOORS_DPS.get((model, impl))
-        ef = EVAL_FLOORS_DPS.get((model, impl))
+        tf = THROUGHPUT_FLOORS_DPS.get((model, impl, bs))
+        ef = EVAL_FLOORS_DPS.get((model, impl, bs))
         print(
-            f"  {model:12s} {impl or '-':10s} train={r['train_dps']:7.0f}"
+            f"  {model:12s} {impl or '-':10s} B={bs:<4d} train={r['train_dps']:7.0f}"
             f" (floor {tf or 0:6.0f})  eval={r['eval_dps'] or 0:7.0f}"
             f" (floor {ef or 0:6.0f})  {status}",
             flush=True,
@@ -687,7 +703,7 @@ def run_zoo_floors(args):
         for msg in failures:
             print(msg, file=sys.stderr)
         sys.exit(2)
-    print(f"zoo floors: all {len(keys)} (model, impl) pairs clear")
+    print(f"zoo floors: all {len(keys)} (model, impl, B) rows clear")
 
 
 if __name__ == "__main__":
