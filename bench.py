@@ -57,8 +57,15 @@ THROUGHPUT_FLOORS_DPS = {
     ("dgcnv2", None, 32): 8000.0,   # 13483
     ("dgcnv2_daily", None, 32): 1700.0,  # 2840
     ("mmin", None, 32): 9000.0,     # 15078
-    # max-throughput keys for dgcn/dgcnv2/mmin land with the round-5
-    # B-sweeps (VERDICT r4 weak #4)
+    # round-5 B-sweep operating points (VERDICT r4 weak #4): measured
+    # knees — dgcn 24331 @ B=256, dgcnv2 19845 @ B=128 (B=256 exceeds the
+    # remote-compile budget), mmin 37358 @ B=256 (B=512 OOMs HBM),
+    # mmin_base 71571 @ B=256 (B=512 train drops to 56k)
+    ("dgcn", "dense", 256): 15000.0,
+    ("dgcnv2", None, 128): 12000.0,
+    ("mmin", None, 256): 22000.0,
+    ("mmin_base", None, 32): 12000.0,   # 20725
+    ("mmin_base", None, 256): 43000.0,
 }
 # Eval floors: the scanned multi-eval path (steps_per_call batches per
 # dispatch).  A drop below the floor means the K-batch scan or one-fetch
@@ -77,6 +84,11 @@ EVAL_FLOORS_DPS = {
     ("dgcnv2", None, 32): 26000.0,      # 43118
     ("dgcnv2_daily", None, 32): 7000.0,  # 12186
     ("mmin", None, 32): 18000.0,        # 31496
+    ("dgcn", "dense", 256): 50000.0,    # 82972
+    ("dgcnv2", None, 128): 41000.0,     # 68773
+    ("mmin", None, 256): 44000.0,       # 73712
+    ("mmin_base", None, 32): 9000.0,    # 15736
+    ("mmin_base", None, 256): 58000.0,  # 96687
 }
 
 # bf16 peak matmul throughput per chip (MXU), by device_kind substring
@@ -458,9 +470,16 @@ def run_matrix(args):
         ("dagerc", None, 128, "-", "max-throughput B=128"),
         ("mmgcn", "dense", 64, "dense", "max-throughput B=64"),
         ("cim", None, 128, "-", "max-throughput B=128"),
+        ("dgcn", "dense", 256, "dense", "max-throughput B=256"),
+        ("dgcnv2", None, 128, "-",
+         "max-throughput B=128 (B=256 compile exceeds the remote-compile budget)"),
+        ("mmin", None, 256, "-",
+         "max-throughput B=256 (B=512 OOMs HBM under resident groups)"),
+        ("mmin_base", None, 256, "-",
+         "max-throughput B=256 (B=512: train 56k < 71.6k, past the knee)"),
     ]
     for model, impl, bs, label, note in runs:
-        if model == "mmin" and not note:
+        if model in ("mmin", "mmin_base") and not note:
             note = "utterance-level: dia/s = samples/s"
         try:
             r = bench_tpu(
