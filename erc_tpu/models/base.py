@@ -44,7 +44,13 @@ class MMBaseParams(BaseParams):
 
         # data pipeline (TPU additions)
         self.max_seq_len = 128
-        self.length_bucket = 0  # 0 = single bucket (pad to max_seq_len); >0 = bucketed
+        # 0 = single bucket (pad to max_seq_len); >0 = pad to a multiple.
+        # Default 16: measured on IEMOCAP/MELD-shaped length mixes
+        # (scripts/bench_padding.py), fill rises 38->80% / 8->51% and
+        # epoch dia/s +45% vs single-bucket at <=8 compiled programs
+        # (persistent-cached); GroupedLoader keeps steps_per_call groups
+        # shape-pure across bucket transitions.  0 restores one-compile.
+        self.length_bucket = 16
         self.sort_by_length = True
         # >1: lax.scan K optimizer steps per dispatch (identical results).
         # Wins when per-dispatch latency dominates (directly-attached

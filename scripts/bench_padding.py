@@ -76,12 +76,17 @@ def fill_factor(lengths: np.ndarray, bucket: int, sort: bool, seed: int = 1):
     return used / padded, plan
 
 
-def device_step_times():
-    """COGMEN train-step seconds per bucket length, resident batches."""
+def device_step_times(spc: int = 8):
+    """COGMEN train-step seconds per bucket length, measured through the
+    product's ``steps_per_call`` scan path (one dispatch per ``spc``
+    steps) — a single-step dispatch through the tunnel is ~30 ms of
+    per-call latency that completely swamps the L-dependence (a first
+    draft measured L=96 'faster' than L=32 that way)."""
     import jax.numpy as jnp
 
     import bench
     from erc_tpu.data.collate import ERCBatcher
+    from erc_tpu.data.loader import stack_batches
     from erc_tpu.data.synthetic import synthetic_erc
     from erc_tpu.models.cogmen import COGMENParams, COGMENTrainer
     from erc_tpu.parallel import mesh as meshlib
@@ -94,6 +99,7 @@ def device_step_times():
     p.max_seq_len = MAX_LEN
     p.length_bucket = 32
     p.encoder_mode = "chained"
+    p.steps_per_call = spc
     p.iparams()
     tr = COGMENTrainer(p)
     tr.initialize()
@@ -101,24 +107,29 @@ def device_step_times():
 
     times = {}
     state = tr.state
-    for L in (32, 64, 96, 128):
-        samples = synthetic_erc("iemocap-cogmen", 6, "train", n_train=B,
+    for L in (16, 32, 48, 64, 80, 96, 112, 128):
+        samples = synthetic_erc("iemocap-cogmen", 6, "train", n_train=B * spc,
                                 min_len=L, max_len=L, seed=L)
-        batch = ERCBatcher("atv", 6, 2, bucket=32, max_len=MAX_LEN,
-                           pad_batch_to=B)(samples)
-        assert batch["text_feature"].shape[1] == L, batch["text_feature"].shape
-        sharded = meshlib.shard_batch(batch, tr.mesh)
-        bench._force(sharded)
-        for i in range(3):  # compile + warm
-            state, mets = tr._train_step_fn(state, sharded, tr.rng.key("w", i))
+        batches = [
+            ERCBatcher("atv", 6, 2, bucket=16, max_len=MAX_LEN,
+                       pad_batch_to=B)(samples[i * B : (i + 1) * B])
+            for i in range(spc)
+        ]
+        assert batches[0]["text_feature"].shape[1] == L
+        group = meshlib.shard_batch(stack_batches(batches), tr.mesh,
+                                    scan_dim=True)
+        keyset = jnp.stack([tr.rng.key("pad", L * 100 + i) for i in range(spc)])
+        bench._force(group)
+        for _ in range(2):  # compile + warm
+            state, mets = tr._multi_step_fn(state, group, keyset)
         bench._force(mets)
-        reps = 30
+        reps = 8
         t0 = time.perf_counter()
-        for i in range(reps):
-            state, mets = tr._train_step_fn(state, sharded, tr.rng.key("t", i))
+        for _ in range(reps):
+            state, mets = tr._multi_step_fn(state, group, keyset)
         bench._force(mets)
-        times[L] = (time.perf_counter() - t0) / reps
-        print(f"  step time L={L}: {times[L] * 1e3:.2f} ms "
+        times[L] = (time.perf_counter() - t0) / (reps * spc)
+        print(f"  step time L={L} (spc={spc}): {times[L] * 1e3:.2f} ms "
               f"({B / times[L]:.0f} dia/s)", flush=True)
     return times
 
@@ -147,13 +158,13 @@ def main(argv):
     times = None if no_chip else device_step_times()
 
     def step_t(L):
-        # interpolate: bucketed lengths land exactly on the measured grid
-        # for bucket32; bucket16 odd points use the next grid point up
-        # (pessimistic for the finer bucket)
-        for g in (32, 64, 96, 128):
+        # bucketed lengths land on the measured 16-step grid except
+        # bucket8's odd points, which use the next grid point up
+        # (mildly pessimistic for bucket8 only)
+        for g in sorted(times):
             if L <= g:
                 return times[g]
-        return times[128]
+        return times[max(times)]
 
     for kind in kinds:
         lengths = corpus_lengths(kind, n)
