@@ -334,13 +334,29 @@ def bench_tpu(batch_size=32, max_len=96, steps=32, steps_per_call=8,
         state, mets = fn(state, i)
     _force(mets)
 
+    # Duration-bounded timing with the one-fetch protocol intact: a probe
+    # block of n_calls dispatches (own barrier) sizes the real window so
+    # the timed stream covers >=0.5 s, then ONE continuous stream runs
+    # with a single end barrier (see _force).  A fixed call count
+    # under-measures fast models badly — mmin's ~2 ms step timed over 8
+    # calls read 7.6 k dia/s vs 14.6 k over 16 — and inserting barriers
+    # mid-window charges their ~50 ms tunnel round-trips to the model;
+    # both failure modes were hit sizing the r5 --zoo-floors run.  For
+    # slow models the probe already exceeds 0.5 s and one block runs, so
+    # the driver's flagship protocol (B=32, steps=128) is unchanged.
     t0 = time.perf_counter()
     for i in range(n_calls):
         state, mets = fn(state, i)
-    _force(mets)  # honest end-of-work barrier (see _force)
+    _force(mets)
+    probe_dt = time.perf_counter() - t0
+    blocks = max(1, min(8, int(0.5 / max(probe_dt, 1e-9)) + 1))
+    t0 = time.perf_counter()
+    for i in range(n_calls * blocks):
+        state, mets = fn(state, i)
+    _force(mets)  # honest end-of-work barrier
     dt = time.perf_counter() - t0
-    train_dps = batch_size * n_calls * K / dt
-    steps_per_sec = n_calls * K / dt
+    train_dps = batch_size * n_calls * blocks * K / dt
+    steps_per_sec = n_calls * blocks * K / dt
 
     mfu = None
     peak = _peak_flops()
@@ -351,7 +367,12 @@ def bench_tpu(batch_size=32, max_len=96, steps=32, steps_per_call=8,
 
     eval_dps = None
     if with_eval:
-        raw_ev = make_batches(batch_size, max(n_calls, 4), max_len, seed=7, kind=kind, tr=tr)
+        # FIXED 16-batch eval set regardless of --steps: the scanned
+        # multi-eval amortizes per-dispatch cost over the stack length,
+        # so a steps-dependent stack silently changes the protocol (the
+        # r5 --zoo-floors run at steps=32 measured eval 2-3x low purely
+        # from its 4-batch stack and spuriously tripped floors)
+        raw_ev = make_batches(batch_size, 16, max_len, seed=7, kind=kind, tr=tr)
         if steps_per_call > 1:
             # the trainer's eval loop scans steps_per_call batches per
             # dispatch (_multi_eval_fn) — measure the same product path
@@ -593,8 +614,8 @@ def main():
         return
 
     if args.zoo_floors:
-        if args.steps == 128:  # default: reduce for the sweep
-            args.steps = 32
+        if args.steps == 128:  # default: reduce for the sweep (8 timed
+            args.steps = 64    # calls — 4 proved too jitter-prone)
         run_zoo_floors(args)
         return
 
