@@ -69,6 +69,24 @@ def test_every_floor_key_is_benchable():
             assert impl in impls
 
 
+def test_device_tile_repeats_and_truncates():
+    # the --zoo-floors staged-data cap: [K_u, ...] stacks tile up to the
+    # exact target row count on device (repeat + truncate)
+    import numpy as np
+
+    tree = {"a": np.arange(12).reshape(2, 6), "b": np.ones((2, 3, 4))}
+    out = bench._device_tile(tree, 16)
+    assert out["a"].shape == (16, 6) and out["b"].shape == (16, 3, 4)
+    np.testing.assert_array_equal(np.asarray(out["a"][:2]), tree["a"])
+    np.testing.assert_array_equal(np.asarray(out["a"][2:4]), tree["a"])
+    # non-divisible target truncates the last repeat
+    out = bench._device_tile({"a": np.arange(9).reshape(3, 3)}, 8)
+    assert out["a"].shape == (8, 3)
+    np.testing.assert_array_equal(
+        np.asarray(out["a"][6:]), np.arange(6).reshape(2, 3)
+    )
+
+
 def test_dryrun_covers_all_families_riskiest_first():
     fams = set(graft._dryrun_families())
     assert set(graft._DRYRUN_ORDER) == fams, "every family must run on DP"
